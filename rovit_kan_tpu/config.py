@@ -1,0 +1,161 @@
+"""Config tree for the TPU framework.
+
+Capability parity with the reference's nested dataclass config
+(`/root/reference/configs/config.py:1-122`): same defaults (4 classes,
+severity map, 224px, bs=32, 50 epochs, lr=1e-4, curriculum stage boundaries
+10/25/40/50, KAN [192,64,16,1] with 5 knots / degree 3, dropout 0.3), plus
+TPU-specific knobs (mesh shape, bf16 policy, Pallas kernel toggles) that have
+no reference analogue.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional
+
+
+@dataclass
+class DataConfig:
+    dataset_root: Path = Path("data")
+    augmented_root: Path = Path("data/Augmented Image")
+    original_root: Path = Path("data/Original Image")
+
+    class_names: List[str] = field(default_factory=lambda: [
+        "Healthy Leaf",
+        "Leaf Holes",
+        "Black Spot",
+        "Dry Leaf",
+    ])
+
+    severity_map: Dict[str, int] = field(default_factory=lambda: {
+        "Healthy Leaf": 0,
+        "Leaf Holes": 1,
+        "Black Spot": 2,
+        "Dry Leaf": 3,
+    })
+
+    num_classes: int = 4
+    image_size: int = 224
+    train_val_split: float = 0.8
+    # Host-side prefetch depth (the TPU analogue of DataLoader workers).
+    prefetch_batches: int = 2
+    num_workers: int = 4
+
+
+@dataclass
+class TrainConfig:
+    batch_size: int = 32
+    epochs: int = 50
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-4
+    early_stop_patience: int = 10
+    use_curriculum: bool = True
+    seeds: List[int] = field(default_factory=lambda: [42, 123, 999])
+    stage_1_epochs: int = 10
+    stage_2_epochs: int = 25
+    stage_3_epochs: int = 40
+    stage_4_epochs: int = 50
+
+
+@dataclass
+class LossConfig:
+    lambda_ord: float = 1.0
+    mu_unc: float = 0.5
+    nu_kan: float = 0.5
+    focal_gamma: float = 2.0
+    # Per-class focal alpha; populated at runtime from dataset class weights.
+    focal_alpha: Optional[List[float]] = None
+
+
+@dataclass
+class ModelConfig:
+    backbone: str = "deit_tiny_patch16_224"
+    embed_dim: int = 192
+    depth: int = 12
+    num_heads: int = 3
+    mlp_ratio: float = 4.0
+    patch_size: int = 16
+    pretrained: bool = True
+    freeze_backbone: bool = False
+    num_classes: int = 4
+    kan_layers: List[int] = field(default_factory=lambda: [192, 64, 16, 1])
+    kan_num_knots: int = 5
+    kan_degree: int = 3
+    dropout: float = 0.3
+    hidden_dim: int = 128
+    # Path to converted pretrained weights (a .npz produced by
+    # models/convert.py). None -> random init (pretrained flag is then moot,
+    # since this environment has no network egress to fetch timm weights).
+    pretrained_npz: Optional[Path] = None
+
+
+@dataclass
+class PathConfig:
+    checkpoints_dir: Path = Path("checkpoints")
+    results_dir: Path = Path("results")
+    figures_dir: Path = Path("results/figures")
+    logs_dir: Path = Path("results/logs")
+
+    def ensure_dirs(self) -> None:
+        for p in (self.checkpoints_dir, self.results_dir,
+                  self.figures_dir, self.logs_dir):
+            Path(p).mkdir(parents=True, exist_ok=True)
+
+
+@dataclass
+class FlagsConfig:
+    use_mixup: bool = True
+    use_cutmix: bool = True
+    mixup_alpha: float = 0.2
+    cutmix_alpha: float = 1.0
+    mixed_precision: bool = True      # bf16 compute in the backbone
+    curriculum: bool = True
+    freeze_backbone_epochs: int = 5
+    gradient_clip: float = 1.0
+
+
+@dataclass
+class TPUConfig:
+    """TPU-specific execution knobs (no reference analogue)."""
+    # Data-parallel axis size; -1 = all visible devices.
+    data_parallel: int = -1
+    mesh_axis_name: str = "data"
+    use_pallas_attention: bool = True
+    use_pallas_kan: bool = True
+    donate_state: bool = True
+
+
+@dataclass
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    paths: PathConfig = field(default_factory=PathConfig)
+    flags: FlagsConfig = field(default_factory=FlagsConfig)
+    tpu: TPUConfig = field(default_factory=TPUConfig)
+
+    def get_stage_for_epoch(self, epoch: int) -> int:
+        """Curriculum stage for a 1-indexed epoch.
+
+        Mirrors reference `configs/config.py:108-118`: stage 4 always when the
+        curriculum flag is off, otherwise 1/2/3/4 split at the stage-epoch
+        boundaries.
+        """
+        if not self.flags.curriculum:
+            return 4
+        if epoch <= self.train.stage_1_epochs:
+            return 1
+        if epoch <= self.train.stage_2_epochs:
+            return 2
+        if epoch <= self.train.stage_3_epochs:
+            return 3
+        return 4
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def get_config() -> Config:
+    return Config()

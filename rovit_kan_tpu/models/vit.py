@@ -1,0 +1,223 @@
+"""DeiT-Tiny / ViT backbone, implemented natively in JAX (flax.linen).
+
+The reference delegates its backbone to `timm.create_model('deit_tiny_patch16_224')`
+(`/root/reference/models/backbone.py:12-18`), i.e. the NON-distilled ViT-Tiny:
+16x16 patch embed on 224x224 -> 196 patches + 1 CLS token = 197 tokens,
+embed dim 192, 12 pre-LN transformer blocks with 3 attention heads and
+MLP ratio 4, LayerNorm eps 1e-6, exact (erf) GELU, CLS-token pooling.
+Backbone parameter count: 5,524,416 (so the full RoViT-KAN hits the
+reference's 5,706,394 — outputs/ablation/full_model/test_metrics.json).
+
+TPU-first design choices:
+- Patch embedding is a reshape + one big matmul ``(B*196, 768) @ (768, 192)``
+  instead of a conv — identical math, maps directly onto the MXU.
+- Attention runs through a fused Pallas kernel by default
+  (`ops/attention.py`); set ``use_pallas=False`` (or request attention
+  weights) to use the pure-XLA einsum path. Both paths are numerically
+  validated against each other in tests.
+- bf16 mixed precision via ``dtype=jnp.bfloat16`` with fp32 params and fp32
+  LayerNorm/softmax accumulation.
+- No hook mechanism exists (or is needed): per-layer attention maps and the
+  last block's norm1 activation (the Grad-CAM++ tap, reference
+  explainability/gradcam.py:18-43) are *returned* when requested, and the
+  tap accepts an additive perturbation input so ``jax.grad`` w.r.t. the
+  intermediate is just a grad w.r.t. that input at zero.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from rovit_kan_tpu.ops.attention import fused_attention
+
+
+class PatchEmbed(nn.Module):
+    """16x16 non-overlapping patch embedding as a single MXU matmul.
+
+    Patch pixels are flattened in (row, col, channel) order, so a timm conv
+    kernel ``(out, C, kh, kw)`` converts via ``transpose(2, 3, 1, 0)`` then
+    reshape to ``(kh*kw*C, out)`` (see models/convert.py).
+    """
+    patch_size: int = 16
+    embed_dim: int = 192
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        p = self.patch_size
+        gh, gw = H // p, W // p
+        x = x.reshape(B, gh, p, gw, p, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5)            # (B, gh, gw, p, p, C)
+        x = x.reshape(B, gh * gw, p * p * C)         # (B, 196, 768)
+        x = nn.Dense(self.embed_dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="proj")(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with optional fused Pallas path."""
+    dim: int = 192
+    num_heads: int = 3
+    dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, return_weights: bool = False):
+        B, N, D = x.shape
+        h = self.num_heads
+        hd = D // h
+        qkv = nn.Dense(3 * D, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, h, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]             # (B, h, N, hd)
+        scale = hd ** -0.5
+
+        if self.use_pallas and not return_weights:
+            out = fused_attention(q * scale, k, v)   # (B, h, N, hd)
+            attn_weights = None
+        else:
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                                preferred_element_type=jnp.float32)
+            attn_weights = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("bhqk,bhkd->bhqd",
+                             attn_weights.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
+
+        out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(B, N, D)
+        out = nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="proj")(out)
+        if return_weights:
+            return out, attn_weights
+        return out, None
+
+
+class Mlp(nn.Module):
+    dim: int = 192
+    hidden: int = 768
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc1")(x)
+        x = nn.gelu(x, approximate=False)            # timm uses exact GELU
+        x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc2")(x)
+        return x
+
+
+class Block(nn.Module):
+    """Pre-LN transformer block: x += MHA(LN(x)); x += MLP(LN(x))."""
+    dim: int = 192
+    num_heads: int = 3
+    mlp_ratio: float = 4.0
+    dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, return_weights: bool = False,
+                 norm1_perturbation: Optional[jnp.ndarray] = None):
+        # LayerNorm always accumulates in fp32 (param_dtype fp32, out fp32
+        # then cast) for bf16 stability.
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                         param_dtype=jnp.float32, name="norm1")(x)
+        if norm1_perturbation is not None:
+            # Additive zero input: grad w.r.t. this equals grad w.r.t. the
+            # norm1 activation (Grad-CAM++ tap, no hooks needed).
+            y = y + norm1_perturbation
+        norm1_out = y
+        y = y.astype(self.dtype)
+        attn_out, attn_w = Attention(self.dim, self.num_heads,
+                                     dtype=self.dtype,
+                                     use_pallas=self.use_pallas,
+                                     name="attn")(y, return_weights)
+        x = x + attn_out
+        z = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                         param_dtype=jnp.float32, name="norm2")(x)
+        x = x + Mlp(self.dim, int(self.dim * self.mlp_ratio),
+                    dtype=self.dtype, name="mlp")(z.astype(self.dtype))
+        return x, attn_w, norm1_out
+
+
+class VisionTransformer(nn.Module):
+    """ViT-Tiny trunk returning the CLS feature (and optional aux taps)."""
+    image_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 192
+    depth: int = 12
+    num_heads: int = 3
+    mlp_ratio: float = 4.0
+    dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        return_attention: bool = False,
+        gradcam_perturbation: Optional[jnp.ndarray] = None,
+        return_tokens: bool = False,
+    ):
+        """Args:
+            x: ``(B, H, W, 3)`` normalized images (NHWC — TPU-native layout).
+            return_attention: also return per-layer softmax attention
+                ``(depth, B, heads, N, N)`` (forces the non-Pallas path).
+            gradcam_perturbation: optional ``(B, N, D)`` array added to the
+                LAST block's norm1 output (pass zeros; differentiate w.r.t.
+                it for Grad-CAM++).
+            return_tokens: also return the final pre-pool token sequence.
+
+        Returns:
+            dict with ``features`` (B, D) CLS embedding and optional
+            ``attention`` / ``norm1_tap`` / ``tokens``.
+        """
+        B = x.shape[0]
+        n_patches = (self.image_size // self.patch_size) ** 2
+        x = PatchEmbed(self.patch_size, self.embed_dim, dtype=self.dtype,
+                       name="patch_embed")(x)
+        cls_token = self.param(
+            "cls_token", nn.initializers.truncated_normal(0.02),
+            (1, 1, self.embed_dim), jnp.float32)
+        pos_embed = self.param(
+            "pos_embed", nn.initializers.truncated_normal(0.02),
+            (1, n_patches + 1, self.embed_dim), jnp.float32)
+        cls = jnp.broadcast_to(cls_token, (B, 1, self.embed_dim)).astype(x.dtype)
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + pos_embed.astype(x.dtype)
+
+        attn_maps = []
+        norm1_tap = None
+        for i in range(self.depth):
+            perturb = gradcam_perturbation if i == self.depth - 1 else None
+            x, attn_w, norm1_out = Block(
+                self.embed_dim, self.num_heads, self.mlp_ratio,
+                dtype=self.dtype,
+                use_pallas=self.use_pallas and not return_attention,
+                name=f"blocks_{i}",
+            )(x, return_weights=return_attention, norm1_perturbation=perturb)
+            if return_attention:
+                attn_maps.append(attn_w)
+            if i == self.depth - 1:
+                norm1_tap = norm1_out
+
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                         param_dtype=jnp.float32, name="norm")(x)
+        out: Dict[str, jnp.ndarray] = {"features": x[:, 0].astype(jnp.float32)}
+        if return_tokens:
+            out["tokens"] = x
+        if return_attention:
+            out["attention"] = jnp.stack(attn_maps, axis=0)
+        out["norm1_tap"] = norm1_tap
+        return out
+
+
+class DeiTTinyBackbone(VisionTransformer):
+    """Named alias mirroring the reference's backbone wrapper
+    (`/root/reference/models/backbone.py:7-35`). Freezing is handled
+    functionally by the optimizer mask (training/optimizer.py), not by
+    mutating module state."""
+    pass

@@ -1,0 +1,133 @@
+"""Fused multi-head attention Pallas kernel for the ViT backbone.
+
+The backbone's attention is over a fixed 197-token sequence (196 patches +
+CLS) with head_dim 64. At this size a flash-style streaming kernel is
+unnecessary — the entire (N, N) score matrix for one (batch, head) pair is
+~256KB fp32 and fits comfortably in VMEM. The win over the unfused XLA path
+is keeping QK^T -> mask -> softmax -> PV resident in VMEM with zero HBM
+round-trips for the intermediates.
+
+Design:
+- Grid over flattened (batch * heads); each program owns one full head.
+- Sequence padded to a multiple of 128 lanes outside the kernel; padded key
+  columns are masked to -inf before the softmax (padded query rows compute
+  garbage that the caller slices off).
+- fp32 accumulation regardless of input dtype (bf16 in mixed precision).
+- Falls back to interpret mode automatically off-TPU so the same code path
+  is exercised by CPU tests and the multi-chip dry run.
+
+Replaces the reference's reliance on timm's fused CUDA attention
+(`/root/reference/models/backbone.py:12-18` delegates everything to timm).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, n_valid: int):
+    q = q_ref[0].astype(jnp.float32)                  # (N_pad, d)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    n_pad = q.shape[0]
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (N_pad, N_pad)
+
+    if n_valid < n_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        s = jnp.where(col < n_valid, s, -1e30)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_attention_impl(q, k, v, interpret: bool):
+    B, h, N, d = q.shape
+    n_pad = _round_up(N, 128)
+    d_pad = _round_up(d, 128)
+
+    def prep(x):
+        x = x.reshape(B * h, N, d)
+        return jnp.pad(x, ((0, 0), (0, n_pad - N), (0, d_pad - d)))
+
+    q2, k2, v2 = prep(q), prep(k), prep(v)
+
+    kernel = functools.partial(_attention_kernel, n_valid=N)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B * h,),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, d_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_pad, d_pad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * h, n_pad, d_pad), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * (B * h) * n_pad * n_pad * d_pad,
+            bytes_accessed=4 * (B * h) * n_pad * d_pad * 4,
+            transcendentals=(B * h) * n_pad * n_pad,
+        ),
+    )(q2, k2, v2)
+
+    out = out[:, :N, :d].reshape(B, h, N, d)
+    return out
+
+
+def _attention_xla(q, k, v):
+    """Pure-XLA reference path (also used to derive the backward pass)."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32), preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+
+
+@jax.custom_vjp
+def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Softmax attention ``softmax(q k^T) v`` with q pre-scaled.
+
+    Forward runs the fused Pallas kernel; the backward pass differentiates
+    the equivalent XLA formulation (recompute-based — at N=197 the recompute
+    is cheaper than materializing attention probabilities to HBM).
+
+    Args:
+        q, k, v: ``(B, heads, N, head_dim)``; q already multiplied by
+            ``head_dim**-0.5``.
+
+    Returns:
+        ``(B, heads, N, head_dim)`` in fp32.
+    """
+    interpret = jax.default_backend() != "tpu"
+    return _fused_attention_impl(q, k, v, interpret)
+
+
+def _fused_attention_fwd(q, k, v):
+    return fused_attention(q, k, v), (q, k, v)
+
+
+def _fused_attention_bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_attention_xla, q, k, v)
+    return vjp(g)
+
+
+fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)

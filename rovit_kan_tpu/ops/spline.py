@@ -1,0 +1,147 @@
+"""B-spline basis + KAN layer numerics, TPU-first.
+
+Reproduces the math of the reference's Cox-de Boor recursion and KAN layer
+(`/root/reference/models/kan.py:8-95`) with a design suited to XLA:
+
+- The reference evaluates the recursion with *runtime* Python loops over basis
+  index and degree, and the spline contraction with a Python double loop over
+  (in_features x out_features) — 12,288 interpreter iterations per call for
+  the 192->64 layer. Here the knot vector is a static NumPy array, so the
+  recursion unrolls at *trace time* into a handful of fused VPU ops over the
+  whole (batch, features) block, and the contraction is a single MXU matmul
+  `(B, in*K) @ (in*K, out)`.
+- Semantics match the reference exactly: half-open degree-0 intervals
+  (`knots[i] <= x < knots[i+1]`), clamp to the knot range, zero-guarded
+  left/right Cox-de Boor terms, `num_basis = num_knots + degree - 1`, knot
+  vector `linspace(-1, 1, num_knots + 2*degree)`.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def make_knots(num_knots: int = 5, degree: int = 3) -> np.ndarray:
+    """Uniform knot vector in [-1, 1] (reference models/kan.py:59)."""
+    return np.linspace(-1.0, 1.0, num_knots + 2 * degree).astype(np.float32)
+
+
+def num_basis_functions(num_knots: int = 5, degree: int = 3) -> int:
+    """Number of B-spline basis functions (reference models/kan.py:13,56)."""
+    return num_knots + degree - 1
+
+
+def bspline_basis_list(x: jnp.ndarray, knots: np.ndarray, degree: int = 3):
+    """Evaluate all B-spline basis functions at ``x``; returns a Python list
+    of ``num_basis`` arrays, each shaped like ``x``.
+
+    The list form avoids a stack/reshape and is what the fused Pallas KAN
+    kernel consumes directly (ops/kan_kernel.py).
+    """
+    knots = np.asarray(knots, dtype=np.float32)
+    num_knots = knots.shape[0]
+    num_basis = num_knots - degree - 1
+
+    x = jnp.clip(x, knots[0], knots[-1])
+
+    # Degree 0: indicator of the half-open interval [knots[i], knots[i+1]).
+    basis = [
+        jnp.logical_and(x >= knots[i], x < knots[i + 1]).astype(x.dtype)
+        for i in range(num_basis)
+    ]
+
+    # Cox-de Boor recursion, unrolled at trace time. The zero-denominator
+    # guards are static Python conditionals on the concrete knot vector.
+    for d in range(1, degree + 1):
+        new_basis = []
+        for i in range(num_basis):
+            term = jnp.zeros_like(x)
+            if knots[i + d] != knots[i]:
+                left = (x - knots[i]) / (knots[i + d] - knots[i])
+                term = term + left * basis[i]
+            if i + d + 1 < num_knots and knots[i + d + 1] != knots[i + 1]:
+                if i + 1 < num_basis:
+                    right = (knots[i + d + 1] - x) / (knots[i + d + 1] - knots[i + 1])
+                    term = term + right * basis[i + 1]
+            new_basis.append(term)
+        basis = new_basis
+
+    return basis
+
+
+def bspline_basis(x: jnp.ndarray, knots: np.ndarray, degree: int = 3) -> jnp.ndarray:
+    """Evaluate all B-spline basis functions at ``x``.
+
+    Args:
+        x: array of any shape ``(...,)``; evaluated elementwise.
+        knots: static 1-D NumPy knot vector (must be concrete, not traced —
+            this is what lets the recursion unroll into straight-line XLA).
+        degree: spline degree (reference default 3).
+
+    Returns:
+        array of shape ``(*x.shape, num_basis)`` with
+        ``num_basis = len(knots) - degree - 1``.
+    """
+    return jnp.stack(bspline_basis_list(x, knots, degree), axis=-1)
+
+
+def kan_layer_apply(
+    x: jnp.ndarray,
+    spline_weights: jnp.ndarray,
+    linear_kernel: jnp.ndarray,
+    linear_bias: jnp.ndarray,
+    knots: np.ndarray,
+    degree: int = 3,
+) -> jnp.ndarray:
+    """One KAN layer: learned-spline features + dense residual path.
+
+    Matches reference ``KANLayer.forward`` (models/kan.py:70-95):
+    ``out = Linear(x) + sum_i spline_ij(tanh(x)_i)`` — note the dense path
+    sees the *raw* x while the splines see tanh(x).
+
+    Args:
+        x: ``(B, in_features)``.
+        spline_weights: ``(in_features, out_features, num_basis)``.
+        linear_kernel: ``(in_features, out_features)``.
+        linear_bias: ``(out_features,)``.
+        knots: static knot vector.
+
+    Returns:
+        ``(B, out_features)``.
+    """
+    in_features, out_features, num_basis = spline_weights.shape
+    x_norm = jnp.tanh(x)
+    basis = bspline_basis(x_norm, knots, degree)          # (B, in, K)
+    # Single MXU contraction: (B, in*K) @ (in*K, out). HIGHEST precision:
+    # the KAN path is a negligible FLOP fraction and drives the severity
+    # metric parity, so it always runs at full fp32 matmul precision.
+    b2 = basis.reshape(x.shape[0], in_features * num_basis)
+    w2 = spline_weights.transpose(0, 2, 1).reshape(in_features * num_basis,
+                                                   out_features)
+    spline_out = jnp.dot(b2, w2, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+    linear_out = jnp.dot(x, linear_kernel,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST) + linear_bias
+    return linear_out + spline_out
+
+
+def spline_curve(
+    spline_weights: jnp.ndarray,
+    knots: np.ndarray,
+    input_idx: int,
+    output_idx: int,
+    num_points: int = 100,
+    degree: int = 3,
+):
+    """Evaluate one learned spline phi_{ij} on a [-1, 1] grid for plotting.
+
+    Functional analogue of reference ``KANLayer.plot_activation``
+    (models/kan.py:100-114).
+    """
+    x = jnp.linspace(-1.0, 1.0, num_points)
+    basis = bspline_basis(x, knots, degree)               # (P, K)
+    w = spline_weights[input_idx, output_idx]             # (K,)
+    y = basis @ w
+    return np.asarray(x), np.asarray(y)

@@ -1,0 +1,275 @@
+"""Curriculum trainer: one jit-compiled train step for all four stages.
+
+Capability parity with `/root/reference/training/trainer.py:20-340` —
+curriculum staging, backbone freeze/unfreeze at epoch boundaries,
+CutMix/MixUp with lam-combined classification loss (severity labels never
+mixed, reference lines 104-111), grad clip, per-epoch cosine LR, per-loss
+accumulators + accuracy, best-val checkpointing, early stopping — redesigned
+for the TPU execution model:
+
+- ONE compiled train step serves every epoch: the curriculum stage, the
+  mixup coin, the freeze flag, and the LR all enter as traced values or
+  optimizer-state hyperparams (the reference's AMP GradScaler is unnecessary
+  — bf16 on TPU trains without loss scaling).
+- Host-side augmentation is limited to decode/resize; flips/jitter/
+  normalize/CutMix/MixUp are fused into the step on device.
+- State (params + opt state) is donated each step: zero-copy updates in HBM.
+- Data parallelism: pass a Mesh and the same step runs SPMD with the batch
+  sharded over ICI; gradient psum is inserted by XLA.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import flax.struct
+
+from rovit_kan_tpu.config import Config
+from rovit_kan_tpu.ops.mixing import cutmix_or_mixup
+from rovit_kan_tpu.ops.preprocess import augment_batch, eval_batch
+from rovit_kan_tpu.training.losses import joint_loss
+from rovit_kan_tpu.training.optimizer import (
+    build_optimizer,
+    cosine_lr,
+    set_hyperparams,
+    zero_backbone_grads,
+)
+from rovit_kan_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+    step: jnp.ndarray
+
+
+def make_train_step(model, tx, config: Config,
+                    focal_alpha: Optional[np.ndarray] = None) -> Callable:
+    """Build the jit'd train step.
+
+    Signature: ``(state, batch, stage, backbone_live, use_mix) -> (state,
+    metrics)`` where ``stage`` (int32), ``backbone_live`` (f32 0/1) and
+    ``use_mix`` (f32 0/1) are traced — no retrace across curriculum/freeze
+    boundaries.
+    """
+    lc = config.loss
+    fl = config.flags
+    alpha = jnp.asarray(focal_alpha) if focal_alpha is not None else None
+    head_mask = model.head_mask
+
+    def step_fn(state: TrainState, batch, stage, backbone_live, use_mix):
+        rng, k_aug, k_mix, k_drop = jax.random.split(state.rng, 4)
+
+        x = augment_batch(k_aug, batch["images"])
+        labels = batch["labels"]
+        severity = batch["severity"]
+
+        mixed, la, lb, lam = cutmix_or_mixup(
+            k_mix, x, labels, fl.use_cutmix, fl.use_mixup,
+            fl.cutmix_alpha, fl.mixup_alpha)
+        # use_mix gate (val of 0 disables mixing without retracing).
+        x = use_mix * mixed + (1.0 - use_mix) * x
+        lam = use_mix * lam + (1.0 - use_mix) * 1.0
+        lb = jnp.where(use_mix > 0, lb, la)
+
+        def loss_fn(params):
+            out = model.apply({"params": params}, x, deterministic=False,
+                              rngs={"dropout": k_drop})
+            losses = joint_loss(
+                out, labels, severity, stage,
+                lambda_ord=lc.lambda_ord, mu_unc=lc.mu_unc, nu_kan=lc.nu_kan,
+                focal_gamma=lc.focal_gamma, focal_alpha=alpha,
+                head_mask=head_mask,
+                mixup={"labels_a": la, "labels_b": lb, "lam": lam})
+            return losses["total_loss"], (losses, out)
+
+        (_, (losses, out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grads = zero_backbone_grads(grads, backbone_live)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        acc = jnp.mean((jnp.argmax(out["cls_logits"], -1) == labels)
+                       .astype(jnp.float32))
+        metrics = {k: v for k, v in losses.items()}
+        metrics["accuracy"] = acc
+        new_state = TrainState(params=params, opt_state=opt_state, rng=rng,
+                               step=state.step + 1)
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(model, config: Config,
+                   focal_alpha: Optional[np.ndarray] = None) -> Callable:
+    """Jit'd eval step: deterministic forward, stage-4 loss, valid-masked
+    batch statistics (reference val_epoch, trainer.py:183-231)."""
+    lc = config.loss
+    alpha = jnp.asarray(focal_alpha) if focal_alpha is not None else None
+    head_mask = model.head_mask
+
+    def step_fn(params, batch):
+        x = eval_batch(batch["images"])
+        out = model.apply({"params": params}, x, deterministic=True)
+        losses = joint_loss(out, batch["labels"], batch["severity"], 4,
+                            lambda_ord=lc.lambda_ord, mu_unc=lc.mu_unc,
+                            nu_kan=lc.nu_kan, focal_gamma=lc.focal_gamma,
+                            focal_alpha=alpha, head_mask=head_mask)
+        valid = batch["valid"]
+        n = jnp.maximum(valid.sum(), 1.0)
+        correct = ((jnp.argmax(out["cls_logits"], -1) == batch["labels"])
+                   .astype(jnp.float32) * valid).sum()
+        return {**losses, "correct": correct, "n": n, "outputs": out}
+
+    return jax.jit(step_fn)
+
+
+class Trainer:
+    """Epoch-driven fit loop (reference Trainer.fit, trainer.py:233-309)."""
+
+    def __init__(self, model, train_loader, val_loader, config: Config,
+                 logger=None, focal_alpha: Optional[np.ndarray] = None,
+                 mesh=None, seed: int = 42):
+        self.model = model
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.config = config
+        self.logger = logger
+        self.mesh = mesh if mesh is not None else make_mesh(1)
+        self.tx = build_optimizer(config)
+        self.focal_alpha = focal_alpha
+        self.seed = seed
+
+        self.train_step = make_train_step(model, self.tx, config, focal_alpha)
+        self.eval_step = make_eval_step(model, config, focal_alpha)
+
+        self.best_val_loss = float("inf")
+        self.epochs_without_improvement = 0
+        self.history: Dict[str, list] = {}
+
+    def init_state(self, params=None) -> TrainState:
+        rng = jax.random.PRNGKey(self.seed)
+        if params is None:
+            k_init, rng = jax.random.split(rng)
+            shape = (1, self.config.data.image_size,
+                     self.config.data.image_size, 3)
+            params = self.model.init(k_init, jnp.zeros(shape))["params"]
+        opt_state = self.tx.init(params)
+        state = TrainState(params=params, opt_state=opt_state, rng=rng,
+                           step=jnp.zeros((), jnp.int32))
+        return replicate(state, self.mesh)
+
+    def _epoch_knobs(self, epoch: int):
+        """Per-epoch (stage, lr, backbone_scale, backbone_live)."""
+        cfg = self.config
+        stage = cfg.get_stage_for_epoch(epoch)
+        lr = cosine_lr(cfg, epoch)
+        frozen = (cfg.flags.freeze_backbone_epochs > 0
+                  and epoch <= cfg.flags.freeze_backbone_epochs)
+        backbone_scale = 0.0 if frozen else 0.1
+        backbone_live = 0.0 if frozen else 1.0
+        return stage, lr, backbone_scale, backbone_live
+
+    def train_epoch(self, state: TrainState, epoch: int):
+        stage, lr, bb_scale, bb_live = self._epoch_knobs(epoch)
+        state = state.replace(
+            opt_state=set_hyperparams(state.opt_state, lr, bb_scale))
+
+        sums: Dict[str, float] = {}
+        n_batches = 0
+        for batch in self.train_loader:
+            batch.pop("valid", None)
+            batch = shard_batch(batch, self.mesh)
+            state, metrics = self.train_step(
+                state, batch, jnp.int32(stage), jnp.float32(bb_live),
+                jnp.float32(1.0 if (self.config.flags.use_mixup
+                                    or self.config.flags.use_cutmix) else 0.0))
+            n_batches += 1
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        avg = {k: v / max(n_batches, 1) for k, v in sums.items()}
+        avg["lr"] = lr
+        avg["stage"] = stage
+        return state, avg
+
+    def val_epoch(self, state: TrainState):
+        sums: Dict[str, float] = {}
+        correct = 0.0
+        total = 0.0
+        n_batches = 0
+        for batch in self.val_loader:
+            batch = shard_batch(batch, self.mesh)
+            m = self.eval_step(state.params, batch)
+            n_batches += 1
+            correct += float(m["correct"])
+            total += float(m["n"])
+            for k in ("total_loss", "cls_loss", "ord_loss", "unc_loss",
+                      "kan_loss"):
+                sums[k] = sums.get(k, 0.0) + float(m[k])
+        avg = {k: v / max(n_batches, 1) for k, v in sums.items()}
+        avg["accuracy"] = correct / max(total, 1.0)
+        return avg
+
+    def fit(self, state: Optional[TrainState] = None,
+            epochs: Optional[int] = None) -> Dict[str, Any]:
+        cfg = self.config
+        if state is None:
+            state = self.init_state()
+        epochs = epochs or cfg.train.epochs
+
+        history: Dict[str, list] = {"train": [], "val": []}
+        best_state = state
+        for epoch in range(1, epochs + 1):
+            t0 = time.time()
+            state, train_m = self.train_epoch(state, epoch)
+            val_m = self.val_epoch(state)
+            dt = time.time() - t0
+
+            if self.logger is not None:
+                self.logger.log_epoch(epoch, train_m["stage"], train_m, val_m)
+            history["train"].append(train_m)
+            history["val"].append(val_m)
+            print(f"Epoch {epoch:3d} stage {train_m['stage']} "
+                  f"train_loss {train_m['total_loss']:.4f} "
+                  f"val_loss {val_m['total_loss']:.4f} "
+                  f"val_acc {val_m['accuracy']:.4f} ({dt:.1f}s)")
+
+            if val_m["total_loss"] < self.best_val_loss:
+                self.best_val_loss = val_m["total_loss"]
+                self.epochs_without_improvement = 0
+                best_state = state
+                self.save_checkpoint(state, epoch, val_m)
+            else:
+                self.epochs_without_improvement += 1
+                if self.epochs_without_improvement >= cfg.train.early_stop_patience:
+                    print(f"Early stopping at epoch {epoch}")
+                    break
+
+        self.history = history
+        return {"state": state, "best_state": best_state,
+                "history": history, "best_val_loss": self.best_val_loss}
+
+    # -- checkpointing (orbax) ------------------------------------------
+    def _ckpt_dir(self) -> Path:
+        d = Path(self.config.paths.checkpoints_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        return d
+
+    def save_checkpoint(self, state: TrainState, epoch: int,
+                        metrics: Dict[str, float], name: str = "best_model"):
+        from rovit_kan_tpu.utils.checkpoint import save_checkpoint
+        save_checkpoint(self._ckpt_dir() / name, state.params,
+                        opt_state=state.opt_state, epoch=epoch,
+                        best_val_loss=self.best_val_loss, metrics=metrics)
+
+    def load_checkpoint(self, name: str = "best_model"):
+        from rovit_kan_tpu.utils.checkpoint import load_checkpoint
+        return load_checkpoint(self._ckpt_dir() / name)

@@ -1,0 +1,34 @@
+"""Fused Pallas attention vs the XLA einsum path (interpret mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rovit_kan_tpu.ops.attention import fused_attention, _attention_xla
+
+
+def test_fused_attention_matches_xla():
+    rng = np.random.RandomState(0)
+    B, h, N, d = 2, 3, 13, 8          # deliberately unaligned N, d
+    q = jnp.asarray(rng.randn(B, h, N, d).astype(np.float32)) * d ** -0.5
+    k = jnp.asarray(rng.randn(B, h, N, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, h, N, d).astype(np.float32))
+
+    got = np.asarray(fused_attention(q, k, v))
+    want = np.asarray(_attention_xla(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_attention_gradients_match_xla():
+    rng = np.random.RandomState(1)
+    B, h, N, d = 1, 2, 9, 4
+    q = jnp.asarray(rng.randn(B, h, N, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, h, N, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, h, N, d).astype(np.float32))
+
+    g1 = jax.grad(lambda *a: jnp.sum(fused_attention(*a) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda *a: jnp.sum(_attention_xla(*a) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-4)

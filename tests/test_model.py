@@ -1,0 +1,125 @@
+"""Model structure tests: parameter-count parity with the reference
+(5,706,394 total — reference outputs/ablation/full_model/test_metrics.json),
+output shapes, ablation variants, ordinal conversions, attention parity."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rovit_kan_tpu.models import RoViTKAN
+from rovit_kan_tpu.models.rovit_kan import count_parameters
+from rovit_kan_tpu.ops.ordinal import (
+    cumulative_to_class_probs,
+    ordinal_expected_severity,
+)
+
+
+# Tiny config for shape tests (fast on 1-core CPU); full-size init only for
+# the param-count parity test.
+TINY = dict(image_size=32, patch_size=16, embed_dim=16, depth=2, num_heads=2,
+            kan_layers=(16, 8, 1))
+
+
+@pytest.fixture(scope="module")
+def tiny_model_and_params():
+    m = RoViTKAN(**TINY)
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)))["params"]
+    return m, params
+
+
+def test_param_count_parity_full_model():
+    m = RoViTKAN()
+    params = jax.eval_shape(
+        lambda k: m.init(k, jnp.zeros((1, 224, 224, 3))),
+        jax.random.PRNGKey(0))["params"]
+    c = {k: sum(int(np.prod(x.shape)) for x in jax.tree.leaves(v))
+         for k, v in params.items()}
+    assert c["backbone"] == 5_524_416
+    assert c["classification_head"] == 25_220
+    assert c["ordinal_head"] == 25_091
+    assert c["uncertainty_head"] == 24_962
+    assert c["kan_module"] == 106_705
+    assert sum(c.values()) == 5_706_394
+
+
+def test_ablation_variant_param_counts():
+    # no_kan variant drops exactly the KAN module's 106,705 params.
+    full = RoViTKAN()
+    no_kan = RoViTKAN(with_kan=False)
+
+    def n(m):
+        p = jax.eval_shape(lambda k: m.init(k, jnp.zeros((1, 224, 224, 3))),
+                           jax.random.PRNGKey(0))["params"]
+        return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(p))
+
+    assert n(full) - n(no_kan) == 106_705
+
+
+def test_forward_output_shapes(tiny_model_and_params):
+    m, params = tiny_model_and_params
+    out = m.apply({"params": params}, jnp.zeros((2, 32, 32, 3)))
+    assert out["features"].shape == (2, 16)
+    assert out["cls_logits"].shape == (2, 4)
+    assert out["ordinal_logits"].shape == (2, 3)
+    assert out["mu"].shape == (2, 1)
+    assert out["log_var"].shape == (2, 1)
+    assert out["kan_severity"].shape == (2, 1)
+    # KAN severity constrained to [0, 3].
+    assert (np.asarray(out["kan_severity"]) >= 0).all()
+    assert (np.asarray(out["kan_severity"]) <= 3).all()
+
+
+def test_ablated_heads_emit_zeros():
+    m = RoViTKAN(**TINY, with_ordinal=False, with_uncertainty=False,
+                 with_kan=False)
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)))["params"]
+    assert "ordinal_head" not in params
+    assert "kan_module" not in params
+    out = m.apply({"params": params}, jnp.zeros((2, 32, 32, 3)))
+    assert float(jnp.abs(out["ordinal_logits"]).sum()) == 0.0
+    assert float(jnp.abs(out["kan_severity"]).sum()) == 0.0
+
+
+def test_attention_maps_shape(tiny_model_and_params):
+    m, params = tiny_model_and_params
+    out = m.apply({"params": params}, jnp.zeros((2, 32, 32, 3)),
+                  return_attention=True)
+    # (depth, B, heads, N, N) with N = 4 patches + CLS = 5.
+    assert out["attention"].shape == (2, 2, 2, 5, 5)
+    # Rows are softmax-normalized.
+    np.testing.assert_allclose(
+        np.asarray(out["attention"]).sum(-1), 1.0, atol=1e-5)
+
+
+def test_ordinal_probability_conversion():
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(8, 3).astype(np.float32))
+    probs = np.asarray(cumulative_to_class_probs(logits))
+    c = 1 / (1 + np.exp(-np.asarray(logits)))
+    np.testing.assert_allclose(probs[:, 0], c[:, 0], rtol=1e-5)
+    np.testing.assert_allclose(probs[:, 1], c[:, 1] - c[:, 0], rtol=1e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(probs[:, 3], 1 - c[:, 2], rtol=1e-5)
+    # Probabilities sum to 1 (may be negative for non-monotone logits, as in
+    # the reference's parameterization).
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+
+    sev = np.asarray(ordinal_expected_severity(logits))
+    want = (probs * np.arange(4)).sum(-1, keepdims=True)
+    np.testing.assert_allclose(sev, want, rtol=1e-5, atol=1e-6)
+
+
+def test_dropout_active_in_training_mode(tiny_model_and_params):
+    m, params = tiny_model_and_params
+    x = jnp.ones((4, 32, 32, 3))
+    o1 = m.apply({"params": params}, x, deterministic=False,
+                 rngs={"dropout": jax.random.PRNGKey(1)})
+    o2 = m.apply({"params": params}, x, deterministic=False,
+                 rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(o1["cls_logits"]),
+                           np.asarray(o2["cls_logits"]))
+    # Deterministic mode is reproducible.
+    d1 = m.apply({"params": params}, x)
+    d2 = m.apply({"params": params}, x)
+    np.testing.assert_array_equal(np.asarray(d1["cls_logits"]),
+                                  np.asarray(d2["cls_logits"]))
