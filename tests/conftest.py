@@ -1,8 +1,13 @@
 """Test env: force CPU with 8 virtual devices so sharding tests run without
-TPU hardware, and Pallas kernels run in interpret mode (they auto-detect)."""
-import os
+TPU hardware, and Pallas kernels run in interpret mode (they auto-detect).
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
+Note: this sandbox registers an `axon` TPU PJRT plugin at interpreter startup
+via sitecustomize, which force-sets ``jax_platforms="axon,cpu"`` and ignores
+the JAX_PLATFORMS env var.  Also, ``--xla_force_host_platform_device_count``
+in XLA_FLAGS hangs the axon plugin.  So we use jax.config updates instead,
+which must happen before the first computation (not before import).
+"""
+import jax
+
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_platforms", "cpu")
