@@ -1,0 +1,227 @@
+"""Test-set evaluator: batched jit forward -> metrics -> report + figures.
+
+Capability parity with `/root/reference/evaluation/evaluator.py:16-253`:
+- loops the test loader, softmax/argmax for class predictions;
+- severity predictions come from the KAN head; when the model has no KAN
+  head the reference substitutes ground-truth labels
+  (evaluator.py:50-53) — reproduced here behind ``severity_fallback`` and
+  flagged in the results dict as ``severity_is_fallback`` (the reference's
+  MAE=0/rho=1 ablation rows are this artifact, see BASELINE.md);
+- collects uncertainty std = exp(0.5 * log_var);
+- computes accuracy, macro/weighted F1, MAE, Spearman rho, Brier, ECE,
+  per-class metrics, parameter count and an FPS micro-benchmark;
+- prints a report, writes ``evaluation_results.txt``, renders confusion
+  matrix / confidence histogram / severity scatter figures (PNG + PDF).
+
+TPU-first: one jit-compiled fixed-shape forward serves every batch
+(zero-padded tail + valid mask instead of a ragged last batch).
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rovit_kan_tpu.config import Config
+from rovit_kan_tpu.ops.preprocess import eval_batch
+from rovit_kan_tpu.evaluation import metrics as M
+
+
+class Evaluator:
+    def __init__(self, model, params, test_loader, config: Config,
+                 output_dir=None, class_names=None):
+        self.model = model
+        self.params = params
+        self.test_loader = test_loader
+        self.config = config
+        self.output_dir = Path(output_dir or config.paths.results_dir)
+        self.class_names = list(class_names or config.data.class_names)
+
+        @jax.jit
+        def _forward(params, images_u8):
+            out = model.apply({"params": params}, eval_batch(images_u8),
+                              deterministic=True)
+            return {
+                "cls_probs": jax.nn.softmax(out["cls_logits"], axis=-1),
+                "kan_severity": out["kan_severity"][:, 0],
+                "uncertainty_std": jnp.exp(0.5 * out["log_var"][:, 0]),
+            }
+
+        self._forward = _forward
+
+    def _collect(self) -> Dict[str, np.ndarray]:
+        probs, labels, severities, sev_pred, unc = [], [], [], [], []
+        for batch in self.test_loader:
+            out = self._forward(self.params, batch["images"])
+            valid = batch["valid"].astype(bool)
+            probs.append(np.asarray(out["cls_probs"])[valid])
+            sev_pred.append(np.asarray(out["kan_severity"])[valid])
+            unc.append(np.asarray(out["uncertainty_std"])[valid])
+            labels.append(batch["labels"][valid])
+            severities.append(batch["severity"][valid])
+        return {
+            "probs": np.concatenate(probs),
+            "labels": np.concatenate(labels),
+            "severity_true": np.concatenate(severities),
+            "severity_pred": np.concatenate(sev_pred),
+            "uncertainty": np.concatenate(unc),
+        }
+
+    def evaluate(self, run_fps: bool = True,
+                 severity_fallback: Optional[bool] = None,
+                 save: bool = True) -> Dict[str, Any]:
+        """Full evaluation pass. ``severity_fallback`` defaults to True when
+        the model has no KAN head (reference artifact, evaluator.py:50-53).
+        """
+        if severity_fallback is None:
+            severity_fallback = not getattr(self.model, "with_kan", True)
+
+        d = self._collect()
+        preds = d["probs"].argmax(axis=1)
+        sev_pred = (d["severity_true"] if severity_fallback
+                    else d["severity_pred"])
+
+        k = len(self.class_names)
+        results: Dict[str, Any] = {
+            "accuracy": M.accuracy(d["labels"], preds),
+            "macro_f1": M.macro_f1(d["labels"], preds, k),
+            "weighted_f1": M.weighted_f1(d["labels"], preds, k),
+            "mae": M.mae(d["severity_true"], sev_pred),
+            "spearman_rho": M.spearman_rho(d["severity_true"], sev_pred),
+            "brier_score": M.brier_score(d["probs"], d["labels"]),
+            "ece": M.ece(d["probs"], d["labels"]),
+            "mean_uncertainty": float(d["uncertainty"].mean()),
+            "params": M.count_params(self.params),
+            "n_test": int(d["labels"].size),
+            "severity_is_fallback": bool(severity_fallback),
+            "per_class": M.per_class_metrics(d["labels"], preds,
+                                             self.class_names),
+            "confusion_matrix": M.compute_confusion_matrix(
+                d["labels"], preds, k).tolist(),
+        }
+        if run_fps:
+            results["fps"] = self._fps()
+
+        self._print_report(results)
+        if save:
+            self.output_dir.mkdir(parents=True, exist_ok=True)
+            self._save_report(results)
+            self._save_figures(d, results)
+        self._arrays = d
+        return results
+
+    def _fps(self) -> float:
+        """bs=1 inference FPS (reference metrics.py:63-93 methodology)."""
+        dummy = np.zeros((1, self.config.data.image_size,
+                          self.config.data.image_size, 3), np.uint8)
+        return float(M.fps_benchmark(
+            lambda x: self._forward(self.params, x), dummy))
+
+    def _print_report(self, r: Dict[str, Any]) -> None:
+        print("=" * 60)
+        print("Evaluation results")
+        print("=" * 60)
+        for key in ("accuracy", "macro_f1", "weighted_f1", "mae",
+                    "spearman_rho", "brier_score", "ece", "fps", "params",
+                    "n_test"):
+            if key in r:
+                v = r[key]
+                print(f"  {key:16s} {v:.4f}" if isinstance(v, float)
+                      else f"  {key:16s} {v}")
+        if r.get("severity_is_fallback"):
+            print("  NOTE: severity metrics use the ground-truth fallback "
+                  "(no KAN head) — reference artifact, evaluator.py:50-53")
+        print("  Per-class:")
+        for name, m in r["per_class"].items():
+            print(f"    {name:16s} P={m['precision']:.4f} R={m['recall']:.4f}"
+                  f" F1={m['f1']:.4f} n={m['support']}")
+
+    def _save_report(self, r: Dict[str, Any]) -> None:
+        txt = self.output_dir / "evaluation_results.txt"
+        lines = ["Evaluation results", "=" * 60]
+        for key, v in r.items():
+            if key in ("per_class", "confusion_matrix"):
+                continue
+            lines.append(f"{key}: {v}")
+        lines.append("per_class:")
+        for name, m in r["per_class"].items():
+            lines.append(f"  {name}: {m}")
+        txt.write_text("\n".join(lines) + "\n")
+        (self.output_dir / "test_metrics.json").write_text(
+            json.dumps(r, indent=2))
+
+    def _save_figures(self, d: Dict[str, np.ndarray],
+                      r: Dict[str, Any]) -> None:
+        """Confusion matrix, confidence histogram, severity scatter
+        (reference evaluator.py:166-226), PNG + PDF."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        cm = np.asarray(r["confusion_matrix"])
+        fig, ax = plt.subplots(figsize=(6, 5))
+        im = ax.imshow(cm, cmap="Blues")
+        ax.set_xticks(range(len(self.class_names)))
+        ax.set_yticks(range(len(self.class_names)))
+        ax.set_xticklabels(self.class_names, rotation=45, ha="right")
+        ax.set_yticklabels(self.class_names)
+        for i in range(cm.shape[0]):
+            for j in range(cm.shape[1]):
+                ax.text(j, i, str(cm[i, j]), ha="center", va="center",
+                        color="white" if cm[i, j] > cm.max() / 2 else "black")
+        ax.set_xlabel("Predicted")
+        ax.set_ylabel("True")
+        ax.set_title("Confusion matrix")
+        fig.colorbar(im)
+        fig.tight_layout()
+        for ext in ("png", "pdf"):
+            fig.savefig(self.output_dir / f"confusion_matrix.{ext}", dpi=120)
+        plt.close(fig)
+
+        conf = d["probs"].max(axis=1)
+        correct = d["probs"].argmax(axis=1) == d["labels"]
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.hist(conf[correct], bins=20, alpha=0.6, label="correct")
+        if (~correct).any():
+            ax.hist(conf[~correct], bins=20, alpha=0.6, label="incorrect")
+        ax.set_xlabel("Confidence")
+        ax.set_ylabel("Count")
+        ax.set_title("Prediction confidence")
+        ax.legend()
+        fig.tight_layout()
+        for ext in ("png", "pdf"):
+            fig.savefig(self.output_dir / f"confidence_histogram.{ext}",
+                        dpi=120)
+        plt.close(fig)
+
+        fig, ax = plt.subplots(figsize=(6, 4))
+        jitter = np.random.RandomState(0).uniform(
+            -0.08, 0.08, d["severity_true"].shape)
+        ax.scatter(d["severity_true"] + jitter, d["severity_pred"], s=10,
+                   alpha=0.5)
+        lim = max(3.0, float(d["severity_pred"].max(initial=0.0)))
+        ax.plot([0, lim], [0, lim], "k--", alpha=0.5)
+        ax.set_xlabel("True severity")
+        ax.set_ylabel("KAN predicted severity")
+        ax.set_title("Severity prediction")
+        fig.tight_layout()
+        for ext in ("png", "pdf"):
+            fig.savefig(self.output_dir / f"severity_scatter.{ext}", dpi=120)
+        plt.close(fig)
+
+
+def load_model_for_evaluation(checkpoint_path, config: Config,
+                              **model_kwargs):
+    """Rebuild the model and restore params from an Orbax checkpoint
+    (reference evaluator.py:229-253 rebuilds with pretrained=False and loads
+    ``model_state_dict``). Returns ``(model, params)``."""
+    from rovit_kan_tpu.models.rovit_kan import build_model
+    from rovit_kan_tpu.utils.checkpoint import load_checkpoint
+
+    model = build_model(config, **model_kwargs)
+    ck = load_checkpoint(checkpoint_path)
+    return model, ck["params"]

@@ -1,0 +1,72 @@
+"""Evaluator end-to-end on a tiny model + synthetic data."""
+import numpy as np
+import pytest
+
+from rovit_kan_tpu.config import get_config
+from rovit_kan_tpu.data.synthetic import generate_synthetic_dataset
+from rovit_kan_tpu.data.dataset import RoseLeafDataset, Loader
+from rovit_kan_tpu.models.rovit_kan import RoViTKAN
+from rovit_kan_tpu.evaluation.evaluator import Evaluator
+
+import jax
+
+
+def _tiny_cfg(tmp):
+    cfg = get_config()
+    cfg.data.image_size = 32
+    cfg.paths.results_dir = tmp / "results"
+    return cfg
+
+
+def _tiny_model(**kw):
+    return RoViTKAN(embed_dim=32, depth=1, num_heads=2, image_size=32,
+                    patch_size=16, kan_layers=(32, 8, 1), hidden_dim=16,
+                    use_pallas_attention=False, use_pallas_kan=False, **kw)
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("eval")
+    cfg = _tiny_cfg(tmp)
+    root = generate_synthetic_dataset(tmp / "orig", n_per_class=3, size=32)
+    ds = RoseLeafDataset(root, cfg.data.class_names, cfg.data.severity_map,
+                         image_size=32)
+    loader = Loader(ds, batch_size=5)   # 12 images -> ragged last batch
+    model = _tiny_model()
+    params = model.init(jax.random.PRNGKey(0),
+                        np.zeros((1, 32, 32, 3), np.float32))["params"]
+    return cfg, model, params, loader, tmp
+
+
+def test_evaluate_full(setup):
+    cfg, model, params, loader, tmp = setup
+    ev = Evaluator(model, params, loader, cfg, output_dir=tmp / "results")
+    r = ev.evaluate(run_fps=False)
+    assert 0.0 <= r["accuracy"] <= 1.0
+    assert 0.0 <= r["macro_f1"] <= 1.0
+    assert r["n_test"] == 12
+    assert not r["severity_is_fallback"]
+    assert len(r["per_class"]) == 4
+    assert np.asarray(r["confusion_matrix"]).sum() == 12
+    # KAN severity is bounded to [0, 3].
+    assert 0.0 <= r["mae"] <= 3.0
+    # Report files + figures exist.
+    out = tmp / "results"
+    for f in ("evaluation_results.txt", "test_metrics.json",
+              "confusion_matrix.png", "confidence_histogram.png",
+              "severity_scatter.png"):
+        assert (out / f).exists(), f
+
+
+def test_severity_fallback_artifact(setup):
+    """No-KAN model reproduces the reference's MAE=0/rho=1 artifact
+    (reference evaluator.py:50-53)."""
+    cfg, _, _, loader, tmp = setup
+    model = _tiny_model(with_kan=False)
+    params = model.init(jax.random.PRNGKey(1),
+                        np.zeros((1, 32, 32, 3), np.float32))["params"]
+    ev = Evaluator(model, params, loader, cfg, output_dir=tmp / "nk")
+    r = ev.evaluate(run_fps=False, save=False)
+    assert r["severity_is_fallback"]
+    assert r["mae"] == pytest.approx(0.0)
+    assert r["spearman_rho"] == pytest.approx(1.0)
