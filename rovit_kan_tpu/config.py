@@ -156,6 +156,39 @@ class Config:
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 
+    def to_dict(self) -> dict:
+        """JSON-safe nested dict (paths stringified) — serialized into
+        checkpoints like the reference pickles its config object
+        (reference training/trainer.py:319)."""
+        def conv(x):
+            if dataclasses.is_dataclass(x):
+                return {f.name: conv(getattr(x, f.name))
+                        for f in dataclasses.fields(x)}
+            if isinstance(x, Path):
+                return str(x)
+            if isinstance(x, dict):
+                return {k: conv(v) for k, v in x.items()}
+            if isinstance(x, (list, tuple)):
+                return [conv(v) for v in x]
+            return x
+        return conv(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        cfg = cls()
+        for section_name, section in d.items():
+            obj = getattr(cfg, section_name, None)
+            if obj is None or not isinstance(section, dict):
+                continue
+            for k, v in section.items():
+                if not hasattr(obj, k):
+                    continue
+                cur = getattr(obj, k)
+                if isinstance(cur, Path):
+                    v = Path(v)
+                setattr(obj, k, v)
+        return cfg
+
 
 def get_config() -> Config:
     return Config()

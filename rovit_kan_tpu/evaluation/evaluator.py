@@ -214,14 +214,21 @@ class Evaluator:
         plt.close(fig)
 
 
-def load_model_for_evaluation(checkpoint_path, config: Config,
+def load_model_for_evaluation(checkpoint_path, config: Optional[Config] = None,
                               **model_kwargs):
     """Rebuild the model and restore params from an Orbax checkpoint
     (reference evaluator.py:229-253 rebuilds with pretrained=False and loads
-    ``model_state_dict``). Returns ``(model, params)``."""
+    ``model_state_dict``). The model architecture comes from the config
+    stored *inside* the checkpoint when present (the reference pickles its
+    config into checkpoints, trainer.py:319); the ``config`` argument is the
+    fallback. Returns ``(model, params)``."""
     from rovit_kan_tpu.models.rovit_kan import build_model
     from rovit_kan_tpu.utils.checkpoint import load_checkpoint
 
-    model = build_model(config, **model_kwargs)
     ck = load_checkpoint(checkpoint_path)
+    if ck.get("config"):
+        config = Config.from_dict(ck["config"])
+    elif config is None:
+        raise ValueError("checkpoint has no embedded config; pass one")
+    model = build_model(config, **model_kwargs)
     return model, ck["params"]

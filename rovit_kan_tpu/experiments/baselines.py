@@ -1,0 +1,222 @@
+"""Baseline comparison harness: train timm-equivalent classifiers natively.
+
+Capability parity with `/root/reference/experiments/baselines.py:55-268`:
+- the model set EfficientNet-B0 / MobileNetV3-Large / DeiT-Tiny / ResNet50
+  (reference lines 61-68; all four reimplemented natively in
+  models/baselines.py since timm is unavailable);
+- single-group AdamW + per-epoch cosine schedule, focal-loss-only training
+  (their ``SimpleLoss`` adapter, lines 110-143), curriculum disabled and no
+  backbone freeze (lines 151-155);
+- per-model try/except so one failure doesn't kill the sweep (lines 79-92);
+- manual test loop computing accuracy / macro-F1 / FPS / params
+  (lines 173-199) and a comparison CSV sorted by accuracy (lines 208-220).
+
+TPU-first: its own jit train step (the CNN baselines carry BatchNorm
+``batch_stats``, a mutable collection the multi-task Trainer doesn't need);
+batch sharded over the mesh, state donated.
+"""
+from __future__ import annotations
+
+import csv
+import json
+import math
+import time
+import traceback
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rovit_kan_tpu.config import Config
+from rovit_kan_tpu.models.baselines import BaselineModel, BACKBONES
+from rovit_kan_tpu.ops.preprocess import augment_batch, eval_batch
+from rovit_kan_tpu.training.losses import focal_loss
+from rovit_kan_tpu.evaluation import metrics as M
+from rovit_kan_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+
+DEFAULT_BASELINES = ["deit_tiny", "efficientnet_b0", "mobilenetv3_large",
+                     "resnet50"]
+
+
+class BaselineExperiment:
+    def __init__(self, config: Config, train_loader, val_loader, test_loader,
+                 output_dir, model_names: Optional[List[str]] = None,
+                 epochs: int = 10, focal_alpha: Optional[np.ndarray] = None,
+                 mesh=None, seed: int = 42, run_fps: bool = True):
+        self.config = config
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.test_loader = test_loader
+        self.output_dir = Path(output_dir)
+        self.model_names = model_names or DEFAULT_BASELINES
+        self.epochs = epochs
+        self.focal_alpha = focal_alpha
+        self.mesh = mesh if mesh is not None else make_mesh(1)
+        self.seed = seed
+        self.run_fps = run_fps
+        self.results: Dict[str, Dict] = {}
+
+    # -- jit'd steps ----------------------------------------------------
+    def _make_steps(self, model):
+        gamma = self.config.loss.focal_gamma
+        alpha = (jnp.asarray(self.focal_alpha)
+                 if self.focal_alpha is not None else None)
+        clip = self.config.flags.gradient_clip
+
+        tx = optax.inject_hyperparams(
+            lambda learning_rate: optax.chain(
+                optax.clip_by_global_norm(clip),
+                optax.adamw(learning_rate,
+                            weight_decay=self.config.train.weight_decay),
+            ))(learning_rate=self.config.train.learning_rate)
+
+        def train_step(variables, opt_state, rng, batch):
+            rng, k_aug = jax.random.split(rng)
+            x = augment_batch(k_aug, batch["images"])
+
+            def loss_fn(params):
+                out, mutated = model.apply(
+                    {"params": params, **{k: v for k, v in variables.items()
+                                          if k != "params"}},
+                    x, deterministic=False, mutable=["batch_stats"])
+                loss = focal_loss(out["cls_logits"], batch["labels"],
+                                  gamma, alpha)
+                return loss, (out, mutated)
+
+            (loss, (out, mutated)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(variables["params"])
+            updates, new_opt = tx.update(grads, opt_state,
+                                         variables["params"])
+            params = optax.apply_updates(variables["params"], updates)
+            acc = jnp.mean((jnp.argmax(out["cls_logits"], -1)
+                            == batch["labels"]).astype(jnp.float32))
+            new_vars = {"params": params, **mutated}
+            return new_vars, new_opt, rng, {"loss": loss, "accuracy": acc}
+
+        def eval_step(variables, batch):
+            out = model.apply(variables, eval_batch(batch["images"]),
+                              deterministic=True)
+            probs = jax.nn.softmax(out["cls_logits"], -1)
+            return {"probs": probs}
+
+        return (jax.jit(train_step, donate_argnums=(0, 1)),
+                jax.jit(eval_step), tx)
+
+    def _cosine_lr(self, epoch: int) -> float:
+        lr0 = self.config.train.learning_rate
+        return 1e-6 + 0.5 * (lr0 - 1e-6) * (
+            1 + math.cos(math.pi * (epoch - 1) / self.epochs))
+
+    # -- single model ---------------------------------------------------
+    def run_single(self, name: str) -> Dict:
+        print(f"=== Baseline: {name} ===")
+        model = BaselineModel(backbone_name=name,
+                              num_classes=self.config.model.num_classes)
+        train_step, eval_step, tx = self._make_steps(model)
+
+        rng = jax.random.PRNGKey(self.seed)
+        size = self.config.data.image_size
+        variables = dict(model.init(
+            rng, jnp.zeros((1, size, size, 3), jnp.float32)))
+        opt_state = tx.init(variables["params"])
+        variables = replicate(variables, self.mesh)
+        opt_state = replicate(opt_state, self.mesh)
+
+        t_train = time.time()
+        for epoch in range(1, self.epochs + 1):
+            lr = self._cosine_lr(epoch)
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+            sums, nb = {"loss": 0.0, "accuracy": 0.0}, 0
+            for batch in self.train_loader:
+                batch.pop("valid", None)
+                batch = shard_batch(batch, self.mesh)
+                variables, opt_state, rng, m = train_step(
+                    variables, opt_state, rng, batch)
+                nb += 1
+                for k in sums:
+                    sums[k] += float(m[k])
+            print(f"  epoch {epoch:2d} loss {sums['loss']/max(nb,1):.4f} "
+                  f"acc {sums['accuracy']/max(nb,1):.4f}")
+        train_time = time.time() - t_train
+
+        # Manual test loop (reference baselines.py:173-199).
+        probs, labels = [], []
+        for batch in self.test_loader:
+            out = eval_step(variables, shard_batch(batch, self.mesh))
+            valid = batch["valid"].astype(bool)
+            probs.append(np.asarray(out["probs"])[valid])
+            labels.append(batch["labels"][valid])
+        probs = np.concatenate(probs)
+        labels = np.concatenate(labels)
+        preds = probs.argmax(1)
+
+        k = self.config.model.num_classes
+        result = {
+            "model": name,
+            "accuracy": M.accuracy(labels, preds),
+            "macro_f1": M.macro_f1(labels, preds, k),
+            "weighted_f1": M.weighted_f1(labels, preds, k),
+            "brier_score": M.brier_score(probs, labels),
+            "ece": M.ece(probs, labels),
+            "params": M.count_params(variables["params"]),
+            "train_time_s": train_time,
+        }
+        if self.run_fps:
+            dummy = np.zeros((1, size, size, 3), np.uint8)
+            result["fps"] = float(M.fps_benchmark(
+                lambda x: eval_step(variables, {"images": x}), dummy))
+        return result
+
+    def run_all(self) -> Dict[str, Dict]:
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        for name in self.model_names:
+            if name not in BACKBONES:
+                print(f"  skipping unknown baseline '{name}'")
+                continue
+            try:
+                r = self.run_single(name)
+                self.results[name] = r
+                (self.output_dir / f"{name}_metrics.json").write_text(
+                    json.dumps(r, indent=2))
+            except Exception:
+                # One failure must not kill the sweep (reference
+                # baselines.py:79-92).
+                print(f"  baseline {name} FAILED:")
+                traceback.print_exc()
+        return self.results
+
+    def save_comparison(self) -> Path:
+        """CSV sorted by accuracy desc (reference baselines.py:208-220)."""
+        path = self.output_dir / "baseline_comparison.csv"
+        rows = sorted(self.results.values(),
+                      key=lambda r: -r.get("accuracy", 0.0))
+        fields = ["model", "accuracy", "macro_f1", "weighted_f1",
+                  "brier_score", "ece", "params", "fps", "train_time_s"]
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=fields, extrasaction="ignore")
+            w.writeheader()
+            w.writerows(rows)
+        return path
+
+
+def run_baseline_experiments(config: Config, train_loader, val_loader,
+                             test_loader, output_dir, model_names=None,
+                             epochs: int = 10, focal_alpha=None, mesh=None,
+                             seed: int = 42,
+                             run_fps: bool = True) -> BaselineExperiment:
+    """Entry point (reference baselines.py:223-268)."""
+    exp = BaselineExperiment(config, train_loader, val_loader, test_loader,
+                             output_dir, model_names=model_names,
+                             epochs=epochs, focal_alpha=focal_alpha,
+                             mesh=mesh, seed=seed, run_fps=run_fps)
+    exp.run_all()
+    exp.save_comparison()
+    print(f"{'model':20s} {'acc':>8s} {'macro_f1':>9s} {'params':>10s}")
+    for name, r in sorted(exp.results.items(),
+                          key=lambda kv: -kv[1].get("accuracy", 0)):
+        print(f"{name:20s} {r['accuracy']:8.4f} {r['macro_f1']:9.4f} "
+              f"{r['params']:10d}")
+    return exp

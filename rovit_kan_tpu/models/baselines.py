@@ -1,0 +1,274 @@
+"""Baseline classifier backbones, implemented natively in flax (NHWC,
+MXU-friendly convs, bf16-capable).
+
+The reference's baseline harness pulls EfficientNet-B0, MobileNetV3-Large,
+DeiT-Tiny (and earlier ResNet50) from timm (`/root/reference/experiments/
+baselines.py:19-68`). There is no timm (or network egress) here, so the four
+architectures are reimplemented from their published specs. ``BaselineModel``
+wraps any of them to emit the same output-dict contract as RoViTKAN with the
+non-classification fields zeroed (the reference emits None — see
+baselines.py:30-52 there), so the trainer/evaluator run unchanged.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from rovit_kan_tpu.models.vit import VisionTransformer
+
+
+# ---------------------------------------------------------------- ResNet50
+class _Bottleneck(nn.Module):
+    features: int
+    strides: int = 1
+    expansion: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+                         name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), strides=(self.strides,) * 2,
+                    padding=1, use_bias=False, dtype=self.dtype,
+                    name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+                         name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features * self.expansion, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv3")(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+                         scale_init=nn.initializers.zeros, name="bn3")(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(self.features * self.expansion, (1, 1),
+                               strides=(self.strides,) * 2, use_bias=False,
+                               dtype=self.dtype, name="downsample_conv")(x)
+            residual = nn.BatchNorm(use_running_average=not train,
+                                    dtype=jnp.float32,
+                                    name="downsample_bn")(residual)
+        return nn.relu(residual + y)
+
+
+class ResNet50(nn.Module):
+    """Standard ResNet-50 (He et al. 2015), ~23.5M params at 4 classes."""
+    dtype: Any = jnp.float32
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+                         name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for stage, n_blocks in enumerate(self.stage_sizes):
+            for b in range(n_blocks):
+                strides = 2 if stage > 0 and b == 0 else 1
+                x = _Bottleneck(64 * 2 ** stage, strides, dtype=self.dtype,
+                                name=f"layer{stage + 1}_{b}")(x, train)
+        return x.mean(axis=(1, 2))                       # GAP -> (B, 2048)
+
+
+# ---------------------------------------------------- EfficientNet-B0 bits
+def _hswish(x):
+    return x * nn.relu6(x + 3.0) / 6.0
+
+
+def _hsigmoid(x):
+    return nn.relu6(x + 3.0) / 6.0
+
+
+class _SqueezeExcite(nn.Module):
+    reduced: int
+    gate: Callable = nn.sigmoid
+    act: Callable = nn.silu
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = x.mean(axis=(1, 2))
+        s = nn.Dense(self.reduced, dtype=self.dtype, name="fc1")(s)
+        s = self.act(s)
+        s = nn.Dense(x.shape[-1], dtype=self.dtype, name="fc2")(s)
+        return x * self.gate(s)[:, None, None, :]
+
+
+class _MBConv(nn.Module):
+    """Inverted residual block with depthwise conv + SE (EfficientNet/
+    MobileNetV3 building block)."""
+    features: int
+    expand: float
+    kernel: int
+    strides: int
+    se_ratio: float = 0.25
+    se_from_expanded: bool = True    # EffNet: SE reduced from *input* chans
+    act: Callable = nn.silu
+    se_gate: Callable = nn.sigmoid
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inp = x.shape[-1]
+        mid = int(inp * self.expand)
+        residual = x
+        if mid != inp:
+            x = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="expand_conv")(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             dtype=jnp.float32, name="expand_bn")(x)
+            x = self.act(x)
+        x = nn.Conv(mid, (self.kernel,) * 2, strides=(self.strides,) * 2,
+                    padding=self.kernel // 2, feature_group_count=mid,
+                    use_bias=False, dtype=self.dtype, name="dw_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+                         name="dw_bn")(x)
+        x = self.act(x)
+        if self.se_ratio > 0:
+            base = inp if self.se_from_expanded else mid
+            x = _SqueezeExcite(max(1, int(base * self.se_ratio)),
+                               gate=self.se_gate, act=self.act,
+                               dtype=self.dtype, name="se")(x)
+        x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="project_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+                         name="project_bn")(x)
+        if self.strides == 1 and inp == self.features:
+            x = x + residual
+        return x
+
+
+class EfficientNetB0(nn.Module):
+    """EfficientNet-B0 (Tan & Le 2019), ~4.0M params at 4 classes."""
+    dtype: Any = jnp.float32
+    # (expand, features, repeats, strides, kernel)
+    blocks: Sequence[Tuple] = (
+        (1, 16, 1, 1, 3), (6, 24, 2, 2, 3), (6, 40, 2, 2, 5),
+        (6, 80, 3, 2, 3), (6, 112, 3, 1, 5), (6, 192, 4, 2, 5),
+        (6, 320, 1, 1, 3),
+    )
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(32, (3, 3), strides=(2, 2), padding=1, use_bias=False,
+                    dtype=self.dtype, name="stem_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+                         name="stem_bn")(x)
+        x = nn.silu(x)
+        bi = 0
+        for expand, feat, reps, strides, kernel in self.blocks:
+            for r in range(reps):
+                x = _MBConv(feat, expand, kernel,
+                            strides if r == 0 else 1, se_ratio=0.25,
+                            se_from_expanded=True, act=nn.silu,
+                            dtype=self.dtype, name=f"block{bi}")(x, train)
+                bi += 1
+        x = nn.Conv(1280, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="head_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+                         name="head_bn")(x)
+        x = nn.silu(x)
+        return x.mean(axis=(1, 2))                       # (B, 1280)
+
+
+class MobileNetV3Large(nn.Module):
+    """MobileNetV3-Large (Howard et al. 2019), ~4.2M params at 4 classes."""
+    dtype: Any = jnp.float32
+    # (kernel, expand_size, features, se, activation, strides)
+    blocks: Sequence[Tuple] = (
+        (3, 16, 16, False, "relu", 1),
+        (3, 64, 24, False, "relu", 2),
+        (3, 72, 24, False, "relu", 1),
+        (5, 72, 40, True, "relu", 2),
+        (5, 120, 40, True, "relu", 1),
+        (5, 120, 40, True, "relu", 1),
+        (3, 240, 80, False, "hswish", 2),
+        (3, 200, 80, False, "hswish", 1),
+        (3, 184, 80, False, "hswish", 1),
+        (3, 184, 80, False, "hswish", 1),
+        (3, 480, 112, True, "hswish", 1),
+        (3, 672, 112, True, "hswish", 1),
+        (5, 672, 160, True, "hswish", 2),
+        (5, 960, 160, True, "hswish", 1),
+        (5, 960, 160, True, "hswish", 1),
+    )
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(16, (3, 3), strides=(2, 2), padding=1, use_bias=False,
+                    dtype=self.dtype, name="stem_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+                         name="stem_bn")(x)
+        x = _hswish(x)
+        for i, (k, exp_size, feat, se, act_name, strides) in enumerate(
+                self.blocks):
+            act = _hswish if act_name == "hswish" else nn.relu
+            x = _MBConv(feat, exp_size / x.shape[-1], k, strides,
+                        se_ratio=0.25 if se else 0.0,
+                        se_from_expanded=False, act=act, se_gate=_hsigmoid,
+                        dtype=self.dtype, name=f"block{i}")(x, train)
+        x = nn.Conv(960, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="head_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+                         name="head_bn")(x)
+        x = _hswish(x)
+        x = x.mean(axis=(1, 2))                          # (B, 960)
+        x = nn.Dense(1280, dtype=self.dtype, name="pre_logits")(x)
+        return _hswish(x)                                # (B, 1280)
+
+
+class DeiTTinyClassifier(nn.Module):
+    """Vanilla DeiT-Tiny classifier (the reference's strongest baseline)."""
+    dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return VisionTransformer(image_size=x.shape[1], dtype=self.dtype,
+                                 use_pallas=self.use_pallas,
+                                 name="vit")(x)["features"]   # (B, 192)
+
+
+BACKBONES: Dict[str, Any] = {
+    "deit_tiny": DeiTTinyClassifier,
+    "resnet50": ResNet50,
+    "efficientnet_b0": EfficientNetB0,
+    "mobilenetv3_large": MobileNetV3Large,
+}
+
+
+class BaselineModel(nn.Module):
+    """Backbone + linear classifier emitting the RoViTKAN output-dict
+    contract with non-classification slots zeroed (reference
+    experiments/baselines.py:19-52 emits None there)."""
+    backbone_name: str = "deit_tiny"
+    num_classes: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, **_ignored):
+        B = x.shape[0]
+        backbone = BACKBONES[self.backbone_name](dtype=self.dtype,
+                                                 name="backbone")
+        feats = backbone(x, train=not deterministic)
+        logits = nn.Dense(self.num_classes, name="classifier")(
+            feats.astype(jnp.float32))
+        return {
+            "features": feats.astype(jnp.float32),
+            "cls_logits": logits,
+            "ordinal_logits": jnp.zeros((B, self.num_classes - 1)),
+            "mu": jnp.zeros((B, 1)),
+            "log_var": jnp.zeros((B, 1)),
+            "kan_severity": jnp.zeros((B, 1)),
+        }
+
+    @property
+    def head_mask(self) -> Dict[str, bool]:
+        return {"ordinal": False, "uncertainty": False, "kan": False}
+
+    with_kan = False          # evaluator severity-fallback flag

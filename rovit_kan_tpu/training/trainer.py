@@ -245,7 +245,9 @@ class Trainer:
             if val_m["total_loss"] < self.best_val_loss:
                 self.best_val_loss = val_m["total_loss"]
                 self.epochs_without_improvement = 0
-                best_state = state
+                # Deep-copy: the live state's buffers are donated to the next
+                # train step and would be deleted under best_state.
+                best_state = jax.tree.map(lambda x: x.copy(), state)
                 self.save_checkpoint(state, epoch, val_m)
             else:
                 self.epochs_without_improvement += 1
@@ -268,7 +270,8 @@ class Trainer:
         from rovit_kan_tpu.utils.checkpoint import save_checkpoint
         save_checkpoint(self._ckpt_dir() / name, state.params,
                         opt_state=state.opt_state, epoch=epoch,
-                        best_val_loss=self.best_val_loss, metrics=metrics)
+                        best_val_loss=self.best_val_loss, metrics=metrics,
+                        config=self.config)
 
     def load_checkpoint(self, name: str = "best_model"):
         from rovit_kan_tpu.utils.checkpoint import load_checkpoint

@@ -11,6 +11,7 @@ import json
 from pathlib import Path
 from typing import Any, Dict, Optional
 
+import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -31,7 +32,8 @@ def _to_jsonable(x):
 
 def save_checkpoint(path, params: Any, opt_state: Any = None,
                     epoch: int = 0, best_val_loss: float = float("inf"),
-                    metrics: Optional[Dict] = None) -> None:
+                    metrics: Optional[Dict] = None,
+                    config: Any = None) -> None:
     """Save params (+ optional opt state) and a JSON metadata sidecar."""
     path = Path(path).absolute()
     ckptr = ocp.StandardCheckpointer()
@@ -45,16 +47,28 @@ def save_checkpoint(path, params: Any, opt_state: Any = None,
     ckptr.wait_until_finished()
     meta = {"epoch": epoch, "best_val_loss": best_val_loss,
             "metrics": _to_jsonable(metrics or {})}
+    if config is not None:
+        meta["config"] = (config.to_dict() if hasattr(config, "to_dict")
+                          else _to_jsonable(config))
     (path.parent / (path.name + ".meta.json")).write_text(json.dumps(meta))
 
 
 def load_checkpoint(path, target: Any = None) -> Dict[str, Any]:
     """Load a checkpoint; returns {params, opt_state?, epoch, best_val_loss,
     metrics}. ``target`` (optional pytree of like-shaped arrays) restores
-    with matching shardings/dtypes."""
+    with matching shardings/dtypes; without a target, everything restores as
+    host numpy, so a checkpoint written on any device mesh loads on any
+    other topology (single chip, CPU, different mesh)."""
     path = Path(path).absolute()
-    ckptr = ocp.StandardCheckpointer()
-    tree = ckptr.restore(path, target=target)
+    if target is not None:
+        tree = ocp.StandardCheckpointer().restore(path, target=target)
+    else:
+        ckptr = ocp.PyTreeCheckpointer()
+        meta = ckptr.metadata(path).item_metadata
+        meta_tree = meta.tree if hasattr(meta, "tree") else meta
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree)
+        tree = ckptr.restore(path, restore_args=restore_args)
     meta_path = path.parent / (path.name + ".meta.json")
     meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
     return {**tree, **meta}

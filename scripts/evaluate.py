@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Evaluate a checkpoint on the Original-Image test set (reference
+`/root/reference/scripts/evaluate.py`: ``--checkpoint --data_root
+--batch_size``)."""
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", type=Path, required=True)
+    p.add_argument("--data_root", type=Path, default=Path("data"))
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--output_dir", type=Path, default=Path("outputs/eval"))
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from rovit_kan_tpu.config import get_config
+    from rovit_kan_tpu.data.dataset import RoseLeafDataset, Loader
+    from rovit_kan_tpu.evaluation.evaluator import (
+        Evaluator, load_model_for_evaluation)
+
+    config = get_config()
+    config.data.image_size = args.image_size
+
+    # Model architecture (incl. its native image size) comes from the config
+    # embedded in the checkpoint when present.
+    model, params = load_model_for_evaluation(args.checkpoint, config)
+    size = model.image_size
+    config.data.image_size = size
+
+    test_ds = RoseLeafDataset(args.data_root / "Original Image",
+                              config.data.class_names,
+                              config.data.severity_map,
+                              image_size=size)
+    loader = Loader(test_ds, args.batch_size)
+
+    evaluator = Evaluator(model, params, loader, config,
+                          output_dir=args.output_dir)
+    evaluator.evaluate()
+
+
+if __name__ == "__main__":
+    main()

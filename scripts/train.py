@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Train RoViT-KAN end-to-end (reference `/root/reference/scripts/train.py`).
+
+Flags mirror the reference's ``--data_root --seed --output_dir`` (lines
+33-40) plus TPU/test conveniences: ``--synthetic`` fabricates a dataset,
+``--fast`` shrinks everything for a smoke run, ``--devices`` sizes the
+data-parallel mesh.
+"""
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_root", type=Path, default=Path("data"))
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--output_dir", type=Path, default=Path("outputs/train"))
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate a synthetic dataset under data_root")
+    p.add_argument("--fast", action="store_true",
+                   help="tiny model + 2 epochs (smoke test)")
+    p.add_argument("--devices", type=int, default=-1,
+                   help="data-parallel mesh size (-1 = all)")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = p.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_num_cpu_devices", max(args.devices, 1))
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    from rovit_kan_tpu.config import get_config
+    from rovit_kan_tpu.data.dataset import create_dataloaders
+    from rovit_kan_tpu.data.synthetic import generate_synthetic_dataset
+    from rovit_kan_tpu.models.rovit_kan import build_model, count_parameters
+    from rovit_kan_tpu.training.trainer import Trainer
+    from rovit_kan_tpu.evaluation.evaluator import Evaluator
+    from rovit_kan_tpu.results.logger import ExperimentLogger
+    from rovit_kan_tpu.parallel.mesh import make_mesh
+
+    # Seeding (reference train.py:22-28); JAX keys derive from --seed below.
+    np.random.seed(args.seed)
+
+    config = get_config()
+    config.paths.checkpoints_dir = args.output_dir / "checkpoints"
+    config.paths.results_dir = args.output_dir / "results"
+    config.paths.logs_dir = args.output_dir / "logs"
+    if args.epochs:
+        config.train.epochs = args.epochs
+    if args.batch_size:
+        config.train.batch_size = args.batch_size
+    if args.fast:
+        config.data.image_size = 64
+        config.train.epochs = args.epochs or 2
+        config.train.batch_size = args.batch_size or 8
+        config.train.stage_1_epochs = 1
+        config.train.stage_2_epochs = 1
+        config.train.stage_3_epochs = 1
+        config.flags.freeze_backbone_epochs = 1
+        config.flags.mixed_precision = False
+        config.model.depth = 2
+        config.model.embed_dim = 32
+        config.model.num_heads = 2
+        config.model.hidden_dim = 16
+        config.model.kan_layers = [32, 8, 1]
+        config.tpu.use_pallas_attention = False
+        config.tpu.use_pallas_kan = False
+
+    aug_root = args.data_root / "Augmented Image"
+    orig_root = args.data_root / "Original Image"
+    if args.synthetic:
+        n = 8 if args.fast else 64
+        generate_synthetic_dataset(aug_root, n_per_class=n,
+                                   size=config.data.image_size,
+                                   class_names=config.data.class_names,
+                                   seed=args.seed)
+        generate_synthetic_dataset(orig_root, n_per_class=max(n // 2, 2),
+                                   size=config.data.image_size,
+                                   class_names=config.data.class_names,
+                                   seed=args.seed + 1)
+
+    train_l, val_l, test_l = create_dataloaders(
+        aug_root, orig_root, config.data.class_names,
+        config.data.severity_map, batch_size=config.train.batch_size,
+        train_val_split=config.data.train_val_split, seed=args.seed,
+        image_size=config.data.image_size)
+
+    # Focal alpha from train-split class weights (reference train.py:110-111).
+    focal_alpha = train_l.dataset.get_class_weights()
+    config.loss.focal_alpha = focal_alpha.tolist()
+
+    mesh = make_mesh(args.devices)
+    model = build_model(config)
+    logger = ExperimentLogger(config.paths.logs_dir, "train")
+    trainer = Trainer(model, train_l, val_l, config, logger=logger,
+                      focal_alpha=focal_alpha, mesh=mesh, seed=args.seed)
+
+    state = trainer.init_state()
+    print("Parameters:", count_parameters(state.params)["total"])
+    result = trainer.fit(state)
+    logger.plot_training_curves()
+
+    evaluator = Evaluator(model, result["best_state"].params, test_l, config,
+                          output_dir=config.paths.results_dir)
+    metrics = evaluator.evaluate()
+    print("Done. Test accuracy:", metrics["accuracy"])
+
+
+if __name__ == "__main__":
+    main()

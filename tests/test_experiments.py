@@ -1,0 +1,121 @@
+"""Ablation + baseline harnesses on tiny configs."""
+import json
+
+import numpy as np
+import pytest
+
+from rovit_kan_tpu.config import get_config
+from rovit_kan_tpu.data.synthetic import generate_synthetic_dataset
+from rovit_kan_tpu.data.dataset import RoseLeafDataset, Subset, Loader
+from rovit_kan_tpu.experiments.ablation import (
+    AblationConfig, AblationExperiment, CANONICAL_VARIANTS)
+from rovit_kan_tpu.experiments.baselines import BaselineExperiment
+
+
+def _tiny_cfg(tmp):
+    cfg = get_config()
+    cfg.data.image_size = 32
+    cfg.train.batch_size = 8
+    cfg.train.epochs = 1
+    cfg.train.stage_1_epochs = 0   # jump straight to stage 4 coverage
+    cfg.train.stage_2_epochs = 0
+    cfg.train.stage_3_epochs = 0
+    cfg.flags.freeze_backbone_epochs = 0
+    cfg.flags.mixed_precision = False
+    cfg.model.depth = 1
+    cfg.model.embed_dim = 32
+    cfg.model.num_heads = 2
+    cfg.model.hidden_dim = 16
+    cfg.model.kan_layers = [32, 8, 1]
+    cfg.tpu.use_pallas_attention = False
+    cfg.tpu.use_pallas_kan = False
+    cfg.paths.checkpoints_dir = tmp / "ckpt"
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def loaders(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("exp")
+    root = generate_synthetic_dataset(tmp / "data", n_per_class=6, size=32)
+    cfg = _tiny_cfg(tmp)
+    ds = RoseLeafDataset(root, cfg.data.class_names, cfg.data.severity_map,
+                         image_size=32)
+    order = np.random.RandomState(0).permutation(len(ds))
+    train = Subset(ds, order[:16])
+    val = Subset(ds, order[16:20])
+    test = Subset(ds, order[20:])
+    return (cfg, tmp,
+            Loader(train, 8, shuffle=True, drop_last=True),
+            Loader(val, 8), Loader(test, 8))
+
+
+def test_canonical_variants():
+    names = [v.name for v in CANONICAL_VARIANTS]
+    assert names == ["full_model", "no_ordinal", "no_uncertainty", "no_kan",
+                     "no_curriculum", "classification_only"]
+
+
+def test_ablation_two_variants_and_skip_resume(loaders):
+    cfg, tmp, train_l, val_l, test_l = loaders
+    out = tmp / "ablation"
+    variants = [AblationConfig("full_model"),
+                AblationConfig("classification_only", use_ordinal=False,
+                               use_uncertainty=False, use_kan=False)]
+    exp = AblationExperiment(cfg, train_l, val_l, test_l, out,
+                             variants=variants, run_fps=False)
+    exp.run_all_experiments(epochs=1)
+    assert set(exp.results) == {"full_model", "classification_only"}
+    # classification_only reproduces the reference's severity artifact.
+    assert exp.results["classification_only"]["severity_is_fallback"]
+    assert exp.results["classification_only"]["mae"] == 0.0
+
+    csv_path = exp.save_summary_csv()
+    assert csv_path.exists()
+    lines = csv_path.read_text().splitlines()
+    assert len(lines) == 3
+    exp.print_comparison()
+
+    imp = exp.get_component_importance()
+    assert imp == {}   # no single-component removals in this subset
+
+    # Skip-resume: cached JSON short-circuits retraining.
+    exp2 = AblationExperiment(cfg, train_l, val_l, test_l, out,
+                              variants=variants[:1], run_fps=False)
+    m = exp2.run_single_experiment(variants[0], epochs=1)
+    cached = json.loads((out / "full_model" / "test_metrics.json").read_text())
+    assert m["accuracy"] == cached["accuracy"]
+
+
+def test_component_importance():
+    exp = AblationExperiment.__new__(AblationExperiment)
+    exp.results = {"full_model": {"accuracy": 0.9},
+                   "no_kan": {"accuracy": 0.85},
+                   "no_curriculum": {"accuracy": 0.95}}
+    imp = exp.get_component_importance()
+    assert imp["kan_module"] == pytest.approx(0.05)
+    assert imp["curriculum"] == pytest.approx(-0.05)
+
+
+def test_baseline_harness_resnet_tiny(loaders):
+    """ResNet50 has BatchNorm -> exercises the batch_stats path."""
+    cfg, tmp, train_l, val_l, test_l = loaders
+    exp = BaselineExperiment(cfg, train_l, val_l, test_l, tmp / "base",
+                             model_names=["resnet50"], epochs=1,
+                             run_fps=False)
+    exp.run_all()
+    assert "resnet50" in exp.results
+    r = exp.results["resnet50"]
+    assert 0.0 <= r["accuracy"] <= 1.0
+    assert r["params"] > 20e6
+    path = exp.save_comparison()
+    assert path.exists()
+
+
+def test_baseline_harness_survives_failure(loaders):
+    cfg, tmp, train_l, val_l, test_l = loaders
+    exp = BaselineExperiment(cfg, train_l, val_l, test_l, tmp / "base2",
+                             model_names=["nonexistent_model", "deit_tiny"],
+                             epochs=1, run_fps=False)
+    exp.run_all()
+    assert "deit_tiny" in exp.results
+    assert "nonexistent_model" not in exp.results
