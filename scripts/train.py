@@ -27,6 +27,9 @@ def main():
     p.add_argument("--devices", type=int, default=-1,
                    help="data-parallel mesh size (-1 = all)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--pretrained_npz", type=Path, default=None,
+                   help="converted timm/reference weights "
+                        "(scripts/convert_checkpoint.py)")
     args = p.parse_args()
 
     import jax
@@ -48,6 +51,8 @@ def main():
     np.random.seed(args.seed)
 
     config = get_config()
+    if args.pretrained_npz:
+        config.model.pretrained_npz = args.pretrained_npz
     config.paths.checkpoints_dir = args.output_dir / "checkpoints"
     config.paths.results_dir = args.output_dir / "results"
     config.paths.logs_dir = args.output_dir / "logs"
@@ -102,6 +107,12 @@ def main():
                       focal_alpha=focal_alpha, mesh=mesh, seed=args.seed)
 
     state = trainer.init_state()
+    if config.model.pretrained_npz:
+        from rovit_kan_tpu.models.convert import load_npz, merge_pretrained
+        print(f"Loading pretrained weights: {config.model.pretrained_npz}")
+        pre = load_npz(config.model.pretrained_npz)
+        state = trainer.init_state(
+            params=merge_pretrained(state.params, pre))
     print("Parameters:", count_parameters(state.params)["total"])
     result = trainer.fit(state)
     logger.plot_training_curves()
