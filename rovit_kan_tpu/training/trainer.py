@@ -154,6 +154,8 @@ class Trainer:
         self.best_val_loss = float("inf")
         self.epochs_without_improvement = 0
         self.history: Dict[str, list] = {}
+        from rovit_kan_tpu.utils.profiling import StepTimer
+        self.step_timer = StepTimer(warmup=1)
 
     def init_state(self, params=None) -> TrainState:
         rng = jax.random.PRNGKey(self.seed)
@@ -185,19 +187,26 @@ class Trainer:
 
         sums: Dict[str, float] = {}
         n_batches = 0
+        use_mix = jnp.float32(1.0 if (self.config.flags.use_mixup
+                                      or self.config.flags.use_cutmix)
+                              else 0.0)
         for batch in self.train_loader:
             batch.pop("valid", None)
             batch = shard_batch(batch, self.mesh)
-            state, metrics = self.train_step(
-                state, batch, jnp.int32(stage), jnp.float32(bb_live),
-                jnp.float32(1.0 if (self.config.flags.use_mixup
-                                    or self.config.flags.use_cutmix) else 0.0))
+            with self.step_timer.step():
+                state, metrics = self.train_step(
+                    state, batch, jnp.int32(stage), jnp.float32(bb_live),
+                    use_mix)
+                metrics = jax.tree.map(float, metrics)  # forces sync
             n_batches += 1
             for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
+                sums[k] = sums.get(k, 0.0) + v
         avg = {k: v / max(n_batches, 1) for k, v in sums.items()}
         avg["lr"] = lr
         avg["stage"] = stage
+        timing = self.step_timer.summary(self.config.train.batch_size)
+        if "images_per_sec" in timing:
+            avg["images_per_sec"] = timing["images_per_sec"]
         return state, avg
 
     def val_epoch(self, state: TrainState):
@@ -218,8 +227,27 @@ class Trainer:
         avg["accuracy"] = correct / max(total, 1.0)
         return avg
 
+    def resume(self, name: str = "best_model"):
+        """Restore a saved checkpoint into a fresh TrainState; returns
+        ``(state, next_epoch)`` for continuing ``fit`` (the reference's
+        load_checkpoint restores model+optimizer+scheduler state and the
+        epoch counter, trainer.py:327-340)."""
+        ck = self.load_checkpoint(name)
+        rng = jax.random.PRNGKey(self.seed)
+        params = jax.tree.map(jnp.asarray, ck["params"])
+        opt_state = self.tx.init(params)
+        if ck.get("opt_state") is not None:
+            saved = jax.tree.map(jnp.asarray, ck["opt_state"])
+            opt_state = jax.tree.unflatten(
+                jax.tree.structure(opt_state), jax.tree.leaves(saved))
+        self.best_val_loss = ck.get("best_val_loss", float("inf"))
+        state = TrainState(params=params, opt_state=opt_state, rng=rng,
+                           step=jnp.zeros((), jnp.int32))
+        return replicate(state, self.mesh), ck.get("epoch", 0) + 1
+
     def fit(self, state: Optional[TrainState] = None,
-            epochs: Optional[int] = None) -> Dict[str, Any]:
+            epochs: Optional[int] = None,
+            start_epoch: int = 1) -> Dict[str, Any]:
         cfg = self.config
         if state is None:
             state = self.init_state()
@@ -227,7 +255,7 @@ class Trainer:
 
         history: Dict[str, list] = {"train": [], "val": []}
         best_state = state
-        for epoch in range(1, epochs + 1):
+        for epoch in range(start_epoch, epochs + 1):
             t0 = time.time()
             state, train_m = self.train_epoch(state, epoch)
             val_m = self.val_epoch(state)

@@ -30,6 +30,11 @@ def main():
     p.add_argument("--pretrained_npz", type=Path, default=None,
                    help="converted timm/reference weights "
                         "(scripts/convert_checkpoint.py)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the best_model checkpoint in "
+                        "output_dir")
+    p.add_argument("--profile_dir", type=Path, default=None,
+                   help="write a jax.profiler trace of the first epoch here")
     args = p.parse_args()
 
     import jax
@@ -106,15 +111,30 @@ def main():
     trainer = Trainer(model, train_l, val_l, config, logger=logger,
                       focal_alpha=focal_alpha, mesh=mesh, seed=args.seed)
 
-    state = trainer.init_state()
-    if config.model.pretrained_npz:
-        from rovit_kan_tpu.models.convert import load_npz, merge_pretrained
-        print(f"Loading pretrained weights: {config.model.pretrained_npz}")
-        pre = load_npz(config.model.pretrained_npz)
-        state = trainer.init_state(
-            params=merge_pretrained(state.params, pre))
+    start_epoch = 1
+    if args.resume and (config.paths.checkpoints_dir / "best_model").exists():
+        state, start_epoch = trainer.resume()
+        print(f"Resumed from epoch {start_epoch - 1}")
+    else:
+        state = trainer.init_state()
+        if config.model.pretrained_npz:
+            from rovit_kan_tpu.models.convert import (
+                load_npz, merge_pretrained)
+            print(f"Loading pretrained weights: "
+                  f"{config.model.pretrained_npz}")
+            pre = load_npz(config.model.pretrained_npz)
+            state = trainer.init_state(
+                params=merge_pretrained(state.params, pre))
     print("Parameters:", count_parameters(state.params)["total"])
-    result = trainer.fit(state)
+
+    if args.profile_dir:
+        from rovit_kan_tpu.utils.profiling import trace
+        with trace(str(args.profile_dir)):
+            state, _ = trainer.train_epoch(state, start_epoch)
+        start_epoch += 1
+        print(f"Profiler trace written to {args.profile_dir}")
+
+    result = trainer.fit(state, start_epoch=start_epoch)
     logger.plot_training_curves()
 
     evaluator = Evaluator(model, result["best_state"].params, test_l, config,

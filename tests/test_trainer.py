@@ -1,0 +1,122 @@
+"""Trainer semantics: curriculum knobs, freeze, resume, step timing."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rovit_kan_tpu.config import get_config
+from rovit_kan_tpu.models.rovit_kan import RoViTKAN
+from rovit_kan_tpu.training.trainer import Trainer
+from rovit_kan_tpu.training.optimizer import cosine_lr
+from rovit_kan_tpu.parallel.mesh import make_mesh, shard_batch
+
+
+class _FakeLoader:
+    def __init__(self, batches):
+        self.batches = batches
+
+    def __iter__(self):
+        return iter([dict(b) for b in self.batches])
+
+    def __len__(self):
+        return len(self.batches)
+
+
+def _cfg(tmp):
+    cfg = get_config()
+    cfg.data.image_size = 32
+    cfg.train.batch_size = 8
+    cfg.train.epochs = 4
+    cfg.train.stage_1_epochs = 1
+    cfg.train.stage_2_epochs = 2
+    cfg.train.stage_3_epochs = 3
+    cfg.flags.freeze_backbone_epochs = 1
+    cfg.flags.mixed_precision = False
+    cfg.paths.checkpoints_dir = tmp / "ckpt"
+    return cfg
+
+
+def _model():
+    return RoViTKAN(embed_dim=32, depth=1, num_heads=2, image_size=32,
+                    patch_size=16, kan_layers=(32, 8, 1), hidden_dim=16,
+                    use_pallas_attention=False, use_pallas_kan=False)
+
+
+def _batches(n=2, bs=8):
+    rng = np.random.RandomState(0)
+    return [{
+        "images": rng.randint(0, 256, (bs, 32, 32, 3)).astype(np.uint8),
+        "labels": rng.randint(0, 4, (bs,)).astype(np.int32),
+        "severity": rng.randint(0, 4, (bs,)).astype(np.float32),
+        "valid": np.ones(bs, np.float32),
+    } for _ in range(n)]
+
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("trainer")
+    cfg = _cfg(tmp)
+    batches = _batches()
+    return Trainer(_model(), _FakeLoader(batches), _FakeLoader(batches),
+                   cfg, mesh=make_mesh(1), seed=0)
+
+
+def test_epoch_knobs_curriculum(trainer):
+    assert trainer._epoch_knobs(1)[0] == 1
+    assert trainer._epoch_knobs(2)[0] == 2
+    assert trainer._epoch_knobs(3)[0] == 3
+    assert trainer._epoch_knobs(4)[0] == 4
+    # Frozen during epoch 1 (freeze_backbone_epochs=1), live after.
+    assert trainer._epoch_knobs(1)[3] == 0.0
+    assert trainer._epoch_knobs(2)[3] == 1.0
+
+
+def test_cosine_lr_schedule(trainer):
+    cfg = trainer.config
+    assert cosine_lr(cfg, 1) == pytest.approx(cfg.train.learning_rate)
+    # Torch CosineAnnealingLR: min at epoch T_max+1; at the last trained
+    # epoch the LR is still above eta_min.
+    lrs = [cosine_lr(cfg, e) for e in range(1, cfg.train.epochs + 1)]
+    assert all(a > b for a, b in zip(lrs, lrs[1:]))
+    assert lrs[-1] > 1e-6
+
+
+def test_frozen_backbone_params_unchanged(trainer):
+    state = trainer.init_state()
+    batch = shard_batch({k: v for k, v in _batches(1)[0].items()
+                         if k != "valid"}, trainer.mesh)
+    before = jax.tree.map(np.asarray, state.params)
+    state2, _ = trainer.train_step(state, batch, jnp.int32(1),
+                                   jnp.float32(0.0), jnp.float32(1.0))
+    after = state2.params
+    # Backbone untouched, heads updated.
+    bb_deltas = [np.abs(np.asarray(a) - b).max() for a, b in zip(
+        jax.tree.leaves(after["backbone"]),
+        jax.tree.leaves(before["backbone"]))]
+    head_deltas = [np.abs(np.asarray(a) - b).max() for a, b in zip(
+        jax.tree.leaves(after["classification_head"]),
+        jax.tree.leaves(before["classification_head"]))]
+    assert max(bb_deltas) == 0.0
+    assert max(head_deltas) > 0.0
+
+
+def test_fit_and_resume(tmp_path):
+    cfg = _cfg(tmp_path)
+    cfg.train.epochs = 2
+    batches = _batches()
+    tr = Trainer(_model(), _FakeLoader(batches), _FakeLoader(batches),
+                 cfg, mesh=make_mesh(1), seed=0)
+    res = tr.fit()
+    assert len(res["history"]["train"]) == 2
+    assert "images_per_sec" in res["history"]["train"][0]
+
+    tr2 = Trainer(_model(), _FakeLoader(batches), _FakeLoader(batches),
+                  cfg, mesh=make_mesh(1), seed=0)
+    state, next_epoch = tr2.resume()
+    assert next_epoch >= 2
+    assert tr2.best_val_loss == pytest.approx(res["best_val_loss"])
+    # Continue one more epoch without error.
+    cfg.train.epochs = next_epoch
+    out = tr2.fit(state, start_epoch=next_epoch)
+    assert len(out["history"]["train"]) == 1
