@@ -72,11 +72,20 @@ class RoseLeafDataset:
         if self._cache is not None and self._cache[idx] is not None:
             return self._cache[idx]
         from PIL import Image
+        from rovit_kan_tpu import native
         s = self.samples[idx]
         with Image.open(s["path"]) as im:
-            im = im.convert("RGB").resize(
-                (self.image_size, self.image_size), Image.BILINEAR)
-            arr = np.asarray(im, dtype=np.uint8)
+            im = im.convert("RGB")
+            if im.size == (self.image_size, self.image_size):
+                arr = np.asarray(im, dtype=np.uint8)
+            elif native.available():
+                # Native threaded bilinear resize (C++; GIL released).
+                arr = native.resize_batch([np.asarray(im, dtype=np.uint8)],
+                                          self.image_size, n_threads=1)[0]
+            else:
+                arr = np.asarray(im.resize(
+                    (self.image_size, self.image_size), Image.BILINEAR),
+                    dtype=np.uint8)
         if self._cache is not None:
             self._cache[idx] = arr
         return arr
@@ -130,13 +139,14 @@ class Loader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2, num_workers: int = 4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self.num_workers = num_workers
         self._epoch = 0
 
     def __len__(self):
@@ -146,16 +156,27 @@ class Loader:
 
     def _make_batch(self, idxs: np.ndarray) -> dict:
         bs = self.batch_size
-        n = len(idxs)
         first_img, _, _ = self.dataset[int(idxs[0])]
         images = np.zeros((bs, *first_img.shape), dtype=np.uint8)
         labels = np.zeros((bs,), dtype=np.int32)
         severity = np.zeros((bs,), dtype=np.float32)
         valid = np.zeros((bs,), dtype=np.float32)
-        for j, i in enumerate(idxs):
+
+        def fill(j, i):
             img, lab, sev = self.dataset[int(i)]
             images[j], labels[j], severity[j] = img, lab, sev
             valid[j] = 1.0
+
+        if self.num_workers > 1 and len(idxs) > 1:
+            # PIL decode and the native resize release the GIL, so plain
+            # threads parallelize the batch assembly (the reference's
+            # DataLoader workers without process/pickle overhead).
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(self.num_workers) as ex:
+                list(ex.map(fill, range(len(idxs)), idxs))
+        else:
+            for j, i in enumerate(idxs):
+                fill(j, i)
         return {"images": images, "labels": labels,
                 "severity": severity, "valid": valid}
 
