@@ -1,0 +1,123 @@
+"""On-device ops: CutMix/MixUp invariants, preprocessing, cosine LR torch
+parity, logger CSV format."""
+import csv
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rovit_kan_tpu.ops.mixing import mixup, cutmix, cutmix_or_mixup
+from rovit_kan_tpu.ops.preprocess import (
+    to_float, normalize, denormalize, random_flips, augment_batch,
+    eval_batch, IMAGENET_MEAN, IMAGENET_STD)
+from rovit_kan_tpu.config import get_config
+from rovit_kan_tpu.training.optimizer import cosine_lr
+from rovit_kan_tpu.results.logger import ExperimentLogger, CSV_COLUMNS
+
+
+def _imgs(seed=0, bs=8, size=32):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(rng.rand(bs, size, size, 3).astype(np.float32))
+
+
+def test_mixup_is_convex_combination():
+    x = _imgs()
+    mixed, perm, lam = mixup(jax.random.PRNGKey(0), x, alpha=0.2)
+    want = lam * x + (1 - lam) * x[perm]
+    np.testing.assert_allclose(np.asarray(mixed), np.asarray(want), atol=1e-6)
+    assert 0.0 <= float(lam) <= 1.0
+
+
+def test_cutmix_lam_matches_box_area():
+    x = _imgs()
+    mixed, perm, lam = cutmix(jax.random.PRNGKey(1), x, alpha=1.0)
+    # Pixels equal either source or permuted image; lam = kept fraction.
+    m = np.asarray(mixed)
+    a = np.asarray(x)
+    perm = np.asarray(perm)
+    # Exclude permutation fixed points (image pasted onto itself is
+    # indistinguishable from 'kept').
+    moved = perm != np.arange(len(perm))
+    from_a = np.isclose(m[moved], a[moved], atol=1e-6).all(axis=-1)
+    kept_fraction = from_a.mean()
+    assert kept_fraction == pytest.approx(float(lam), abs=0.05)
+
+
+def test_cutmix_or_mixup_passthrough_when_disabled():
+    x = _imgs()
+    labels = jnp.arange(8) % 4
+    out, la, lb, lam = cutmix_or_mixup(jax.random.PRNGKey(2), x, labels,
+                                       use_cutmix=False, use_mixup=False)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+    assert float(lam) == 1.0
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_cutmix_or_mixup_jit_compatible():
+    f = jax.jit(lambda k, x, y: cutmix_or_mixup(k, x, y))
+    x = _imgs()
+    labels = jnp.arange(8) % 4
+    out, la, lb, lam = f(jax.random.PRNGKey(3), x, labels)
+    assert out.shape == x.shape
+
+
+def test_normalize_roundtrip():
+    x = _imgs()
+    np.testing.assert_allclose(np.asarray(denormalize(normalize(x))),
+                               np.asarray(x), atol=1e-5)
+
+
+def test_normalize_values():
+    x = jnp.ones((1, 2, 2, 3))
+    got = np.asarray(normalize(x))
+    want = (1.0 - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+    np.testing.assert_allclose(got[0, 0, 0], want, atol=1e-6)
+
+
+def test_random_flips_preserve_pixels():
+    x = _imgs()
+    flipped = random_flips(jax.random.PRNGKey(4), x)
+    # Every image is one of the 4 flip variants.
+    for i in range(x.shape[0]):
+        xi = np.asarray(x[i])
+        fi = np.asarray(flipped[i])
+        variants = [xi, xi[:, ::-1], xi[::-1], xi[::-1, ::-1]]
+        assert any(np.allclose(fi, v) for v in variants)
+
+
+def test_augment_and_eval_batch_shapes():
+    u8 = jnp.asarray((np.asarray(_imgs()) * 255).astype(np.uint8))
+    a = augment_batch(jax.random.PRNGKey(5), u8)
+    e = eval_batch(u8)
+    assert a.shape == e.shape == u8.shape
+    assert a.dtype == e.dtype == jnp.float32
+
+
+def test_cosine_lr_matches_torch_scheduler():
+    import torch
+    cfg = get_config()
+    cfg.train.epochs = 10
+    opt = torch.optim.AdamW([torch.nn.Parameter(torch.zeros(1))],
+                            lr=cfg.train.learning_rate)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=cfg.train.epochs, eta_min=1e-6)
+    for epoch in range(1, cfg.train.epochs + 1):
+        torch_lr = opt.param_groups[0]["lr"]
+        assert cosine_lr(cfg, epoch) == pytest.approx(torch_lr, rel=1e-6), \
+            f"epoch {epoch}"
+        sched.step()
+
+
+def test_logger_csv_schema(tmp_path):
+    lg = ExperimentLogger(tmp_path, "t")
+    m = {k: 0.5 for k in ("total_loss", "cls_loss", "ord_loss", "unc_loss",
+                          "kan_loss", "accuracy")}
+    lg.log_epoch(1, 2, m, m)
+    lg.log_epoch(2, 3, m, m)
+    with open(lg.csv_path) as f:
+        rows = list(csv.DictReader(f))
+    assert list(rows[0].keys()) == CSV_COLUMNS
+    assert len(CSV_COLUMNS) == 14          # reference 14-column schema
+    assert [r["epoch"] for r in rows] == ["1", "2"]
+    assert lg.plot_training_curves() is not None
