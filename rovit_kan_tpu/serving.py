@@ -1,0 +1,124 @@
+"""Production inference engine: fixed-shape batched serving on TPU.
+
+The reference's inference story is ``RoViTKAN.predict`` called eagerly per
+batch (`/root/reference/models/rovit_kan.py:126-161`) plus an FPS
+micro-benchmark. This engine is the deployment-shaped equivalent:
+
+- ONE pre-compiled fixed-batch program (no retraces ever): partial batches
+  zero-pad to ``batch_size`` and slice back — latency is constant;
+- raw uint8 NHWC input; the ImageNet normalization runs on device, fused by
+  XLA into the patch-embed matmul's producer;
+- optional data-parallel serving over a ``Mesh`` (batch sharded over ICI);
+- derived outputs matching ``predict``: softmax/argmax, ordinal class probs
+  + expected severity, uncertainty std, KAN severity;
+- rolling throughput/latency stats for monitoring.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Iterable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rovit_kan_tpu.ops.preprocess import eval_batch
+from rovit_kan_tpu.ops.ordinal import (
+    cumulative_to_class_probs,
+    ordinal_expected_severity,
+)
+
+
+class InferenceEngine:
+    def __init__(self, model, params, batch_size: int = 64, mesh=None,
+                 donate: bool = False):
+        self.model = model
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self._latencies: list = []
+
+        if mesh is not None:
+            from rovit_kan_tpu.parallel.mesh import replicate
+            params = replicate(params, mesh)
+        self.params = params
+
+        with_ordinal = getattr(model, "with_ordinal", True)
+        with_uncertainty = getattr(model, "with_uncertainty", True)
+
+        @jax.jit
+        def _forward(params, images_u8):
+            out = model.apply({"params": params}, eval_batch(images_u8),
+                              deterministic=True)
+            res = {
+                "cls_probs": jax.nn.softmax(out["cls_logits"], axis=-1),
+                "cls_pred": jnp.argmax(out["cls_logits"], axis=-1),
+                "kan_severity": out["kan_severity"][:, 0],
+            }
+            if with_ordinal:
+                res["ordinal_probs"] = cumulative_to_class_probs(
+                    out["ordinal_logits"])
+                res["ordinal_severity"] = ordinal_expected_severity(
+                    out["ordinal_logits"])[:, 0]
+            if with_uncertainty:
+                res["uncertainty_std"] = jnp.exp(0.5 * out["log_var"][:, 0])
+            return res
+
+        self._forward = _forward
+
+    def warmup(self) -> None:
+        """Compile the serving program ahead of traffic."""
+        size = self.model.image_size
+        dummy = np.zeros((self.batch_size, size, size, 3), np.uint8)
+        jax.block_until_ready(self._run(dummy))
+
+    def _run(self, images_u8: np.ndarray):
+        if self.mesh is not None:
+            from rovit_kan_tpu.parallel.mesh import shard_batch
+            images_u8 = shard_batch({"x": images_u8}, self.mesh)["x"]
+        return self._forward(self.params, images_u8)
+
+    def predict(self, images_u8: np.ndarray) -> Dict[str, np.ndarray]:
+        """Serve one request of N <= batch_size images (uint8 NHWC).
+        Larger inputs are split internally."""
+        n = images_u8.shape[0]
+        if n > self.batch_size:
+            parts = [self.predict(images_u8[i:i + self.batch_size])
+                     for i in range(0, n, self.batch_size)]
+            return {k: np.concatenate([p[k] for p in parts])
+                    for k in parts[0]}
+
+        t0 = time.perf_counter()
+        if n < self.batch_size:
+            pad = np.zeros((self.batch_size - n, *images_u8.shape[1:]),
+                           images_u8.dtype)
+            images_u8 = np.concatenate([images_u8, pad])
+        out = self._run(images_u8)
+        out = {k: np.asarray(v)[:n] for k, v in out.items()}
+        self._latencies.append(time.perf_counter() - t0)
+        return out
+
+    def predict_stream(self, batches: Iterable[np.ndarray]
+                       ) -> Iterator[Dict[str, np.ndarray]]:
+        """Stream batches through the engine (keeps the device queue fed)."""
+        for images in batches:
+            yield self.predict(images)
+
+    def stats(self) -> Dict[str, float]:
+        lat = np.asarray(self._latencies[1:] or self._latencies)
+        if lat.size == 0:
+            return {"requests": 0}
+        return {
+            "requests": len(self._latencies),
+            "mean_latency_ms": float(lat.mean() * 1e3),
+            "p95_latency_ms": float(np.percentile(lat, 95) * 1e3),
+            "images_per_sec": self.batch_size / float(lat.mean()),
+        }
+
+
+def load_engine(checkpoint_path, batch_size: int = 64, mesh=None,
+                config=None) -> InferenceEngine:
+    """Checkpoint -> ready-to-serve engine (compiles on first predict or
+    explicit warmup)."""
+    from rovit_kan_tpu.evaluation.evaluator import load_model_for_evaluation
+    model, params = load_model_for_evaluation(checkpoint_path, config)
+    return InferenceEngine(model, params, batch_size=batch_size, mesh=mesh)
