@@ -96,6 +96,7 @@ class Evaluator:
             "ece": M.ece(d["probs"], d["labels"]),
             "mean_uncertainty": float(d["uncertainty"].mean()),
             "params": M.count_params(self.params),
+            "params_m": M.count_params(self.params) / 1e6,
             "n_test": int(d["labels"].size),
             "severity_is_fallback": bool(severity_fallback),
             "per_class": M.per_class_metrics(d["labels"], preds,
@@ -103,6 +104,9 @@ class Evaluator:
             "confusion_matrix": M.compute_confusion_matrix(
                 d["labels"], preds, k).tolist(),
         }
+        # Alias kept for drop-in compatibility with the reference's recorded
+        # test_metrics.json files (both keys appear there).
+        results["spearman"] = results["spearman_rho"]
         if run_fps:
             results["fps"] = self._fps()
 
