@@ -71,6 +71,29 @@ class Evaluator:
             "uncertainty": np.concatenate(unc),
         }
 
+    def evaluate_on_device(self) -> Dict[str, float]:
+        """Distributed-friendly metric pass: per-batch outputs stay on
+        device; the full metric suite (ops/device_metrics.py, incl. Spearman
+        with average-tie ranks) runs as one jit program over the
+        concatenated device arrays — no host gather of predictions."""
+        import jax.numpy as jnp
+        from rovit_kan_tpu.ops.device_metrics import all_metrics
+
+        probs, labels, sev_t, sev_p, valid = [], [], [], [], []
+        for batch in self.test_loader:
+            out = self._forward(self.params, batch["images"])
+            probs.append(out["cls_probs"])
+            sev_p.append(out["kan_severity"])
+            labels.append(jnp.asarray(batch["labels"]))
+            sev_t.append(jnp.asarray(batch["severity"]))
+            valid.append(jnp.asarray(batch["valid"]))
+        m = jax.jit(all_metrics, static_argnames="num_classes")(
+            jnp.concatenate(probs), jnp.concatenate(labels),
+            jnp.concatenate(sev_p), jnp.concatenate(sev_t),
+            jnp.concatenate(valid), num_classes=len(self.class_names))
+        return {k: (np.asarray(v) if k == "confusion_matrix" else float(v))
+                for k, v in m.items()}
+
     def evaluate(self, run_fps: bool = True,
                  severity_fallback: Optional[bool] = None,
                  save: bool = True) -> Dict[str, Any]:

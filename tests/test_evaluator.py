@@ -58,6 +58,16 @@ def test_evaluate_full(setup):
         assert (out / f).exists(), f
 
 
+def test_evaluate_on_device_matches_host(setup):
+    cfg, model, params, loader, tmp = setup
+    ev = Evaluator(model, params, loader, cfg, output_dir=tmp / "dev")
+    host = ev.evaluate(run_fps=False, save=False)
+    dev = ev.evaluate_on_device()
+    for k in ("accuracy", "macro_f1", "mae", "spearman_rho",
+              "brier_score", "ece"):
+        assert dev[k] == pytest.approx(host[k], abs=1e-5), k
+
+
 def test_severity_fallback_artifact(setup):
     """No-KAN model reproduces the reference's MAE=0/rho=1 artifact
     (reference evaluator.py:50-53)."""
