@@ -27,6 +27,9 @@ ITERS = 100
 def main() -> None:
     from rovit_kan_tpu.config import get_config
     from rovit_kan_tpu.models.rovit_kan import build_model
+    from rovit_kan_tpu.utils.compilation_cache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
 
     on_tpu = jax.default_backend() != "cpu"
     config = get_config()

@@ -20,6 +20,9 @@ def main():
     args = p.parse_args()
 
     import jax
+    from rovit_kan_tpu.utils.compilation_cache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
