@@ -180,33 +180,52 @@ class Trainer:
         backbone_live = 0.0 if frozen else 1.0
         return stage, lr, backbone_scale, backbone_live
 
+    def _device_batches(self, loader, drop_valid: bool = True):
+        """Iterate device-resident batches with one batch of H2D transfer
+        in flight ahead of compute (device_put is async — issuing it an
+        iteration early overlaps PCIe/ICI transfer with the current step)."""
+        it = iter(loader)
+        pending = None
+        for batch in it:
+            if drop_valid:
+                batch.pop("valid", None)
+            nxt = shard_batch(batch, self.mesh)
+            if pending is not None:
+                yield pending
+            pending = nxt
+        if pending is not None:
+            yield pending
+
     def train_epoch(self, state: TrainState, epoch: int):
         stage, lr, bb_scale, bb_live = self._epoch_knobs(epoch)
         state = state.replace(
             opt_state=set_hyperparams(state.opt_state, lr, bb_scale))
 
-        sums: Dict[str, float] = {}
-        n_batches = 0
+        per_step = []
         use_mix = jnp.float32(1.0 if (self.config.flags.use_mixup
                                       or self.config.flags.use_cutmix)
                               else 0.0)
-        for batch in self.train_loader:
-            batch.pop("valid", None)
-            batch = shard_batch(batch, self.mesh)
-            with self.step_timer.step():
-                state, metrics = self.train_step(
-                    state, batch, jnp.int32(stage), jnp.float32(bb_live),
-                    use_mix)
-                metrics = jax.tree.map(float, metrics)  # forces sync
-            n_batches += 1
+        self.step_timer.start()
+        for batch in self._device_batches(self.train_loader):
+            # No host sync inside the loop: metrics stay device arrays and
+            # the dispatch queue keeps the chip busy while the host loads
+            # the next batch.
+            state, metrics = self.train_step(
+                state, batch, jnp.int32(stage), jnp.float32(bb_live),
+                use_mix)
+            per_step.append(metrics)
+        n_batches = len(per_step)
+        sums: Dict[str, float] = {}
+        for metrics in per_step:                       # syncs once, at end
             for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + v
+                sums[k] = sums.get(k, 0.0) + float(v)
+        epoch_s = self.step_timer.stop()
         avg = {k: v / max(n_batches, 1) for k, v in sums.items()}
         avg["lr"] = lr
         avg["stage"] = stage
-        timing = self.step_timer.summary(self.config.train.batch_size)
-        if "images_per_sec" in timing:
-            avg["images_per_sec"] = timing["images_per_sec"]
+        if n_batches:
+            avg["images_per_sec"] = (n_batches * self.config.train.batch_size
+                                     / epoch_s)
         return state, avg
 
     def val_epoch(self, state: TrainState):
