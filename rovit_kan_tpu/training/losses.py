@@ -49,10 +49,19 @@ def focal_loss_per_example(logits, targets, gamma=2.0, alpha=None):
     return focal
 
 
-def ordinal_bce_loss(cum_logits: jnp.ndarray,
-                     targets: jnp.ndarray) -> jnp.ndarray:
-    """Ordinal BCE over K-1 thresholds with binary targets ``[y > k]``
-    (reference lines 41-72): mean over thresholds, then over the batch."""
+def _masked_mean(per_example: jnp.ndarray,
+                 valid: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Batch mean; with ``valid`` (0/1 per example) the mean runs over the
+    valid rows only (fixed-shape padded eval batches — the reference never
+    pads, so masking reproduces its ragged-batch loss exactly)."""
+    if valid is None:
+        return jnp.mean(per_example)
+    return (per_example * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+
+
+def ordinal_bce_per_example(cum_logits: jnp.ndarray,
+                            targets: jnp.ndarray) -> jnp.ndarray:
+    """Per-example ordinal BCE over K-1 thresholds, targets ``[y > k]``."""
     cum_logits = cum_logits.astype(jnp.float32)
     num_thresholds = cum_logits.shape[-1]
     ks = jnp.arange(num_thresholds)
@@ -60,7 +69,23 @@ def ordinal_bce_loss(cum_logits: jnp.ndarray,
     # Numerically stable BCE-with-logits.
     bce = (jnp.maximum(cum_logits, 0.0) - cum_logits * binary
            + jnp.log1p(jnp.exp(-jnp.abs(cum_logits))))
-    return jnp.mean(jnp.mean(bce, axis=-1))
+    return jnp.mean(bce, axis=-1)
+
+
+def ordinal_bce_loss(cum_logits: jnp.ndarray,
+                     targets: jnp.ndarray) -> jnp.ndarray:
+    """Ordinal BCE over K-1 thresholds with binary targets ``[y > k]``
+    (reference lines 41-72): mean over thresholds, then over the batch."""
+    return jnp.mean(ordinal_bce_per_example(cum_logits, targets))
+
+
+def uncertainty_per_example(mu: jnp.ndarray, log_var: jnp.ndarray,
+                            targets: jnp.ndarray) -> jnp.ndarray:
+    if targets.ndim == 1:
+        targets = targets[:, None].astype(jnp.float32)
+    precision = jnp.exp(-log_var)
+    recon = (targets - mu) ** 2 * precision
+    return jnp.mean(0.5 * (recon + log_var), axis=-1)
 
 
 def uncertainty_loss(mu: jnp.ndarray, log_var: jnp.ndarray,
@@ -68,19 +93,20 @@ def uncertainty_loss(mu: jnp.ndarray, log_var: jnp.ndarray,
     """Heteroscedastic Gaussian NLL
     ``0.5 * ((t - mu)^2 * exp(-log_var) + log_var)`` (reference lines 75-101).
     """
+    return jnp.mean(uncertainty_per_example(mu, log_var, targets))
+
+
+def kan_regression_per_example(predictions: jnp.ndarray,
+                               targets: jnp.ndarray) -> jnp.ndarray:
     if targets.ndim == 1:
         targets = targets[:, None].astype(jnp.float32)
-    precision = jnp.exp(-log_var)
-    recon = (targets - mu) ** 2 * precision
-    return jnp.mean(0.5 * (recon + log_var))
+    return jnp.mean((predictions - targets) ** 2, axis=-1)
 
 
 def kan_regression_loss(predictions: jnp.ndarray,
                         targets: jnp.ndarray) -> jnp.ndarray:
     """MSE of KAN severity vs the severity label (reference lines 104-114)."""
-    if targets.ndim == 1:
-        targets = targets[:, None].astype(jnp.float32)
-    return jnp.mean((predictions - targets) ** 2)
+    return jnp.mean(kan_regression_per_example(predictions, targets))
 
 
 def joint_loss(
@@ -96,6 +122,7 @@ def joint_loss(
     focal_alpha: Optional[jnp.ndarray] = None,
     head_mask: Optional[Dict[str, bool]] = None,
     mixup: Optional[Dict[str, jnp.ndarray]] = None,
+    valid: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Stage-masked joint loss ``L = L_cls + l*L_ord + m*L_unc + n*L_kan``
     (reference JointLoss, lines 117-181).
@@ -121,20 +148,26 @@ def joint_loss(
                                     focal_gamma, focal_alpha)
         lb = focal_loss_per_example(outputs["cls_logits"], mixup["labels_b"],
                                     focal_gamma, focal_alpha)
-        cls = jnp.mean(mixup["lam"] * la + (1.0 - mixup["lam"]) * lb)
+        cls = _masked_mean(mixup["lam"] * la + (1.0 - mixup["lam"]) * lb,
+                           valid)
     else:
-        cls = focal_loss(outputs["cls_logits"], class_targets,
-                         focal_gamma, focal_alpha)
+        cls = _masked_mean(
+            focal_loss_per_example(outputs["cls_logits"], class_targets,
+                                   focal_gamma, focal_alpha), valid)
 
     m_ord = (stage >= 2).astype(jnp.float32) * float(head_mask["ordinal"])
     m_unc = (stage >= 3).astype(jnp.float32) * float(head_mask["uncertainty"])
     m_kan = (stage >= 4).astype(jnp.float32) * float(head_mask["kan"])
 
-    ord_l = m_ord * ordinal_bce_loss(outputs["ordinal_logits"], severity_targets)
-    unc_l = m_unc * uncertainty_loss(outputs["mu"], outputs["log_var"],
-                                     severity_targets)
-    kan_l = m_kan * kan_regression_loss(outputs["kan_severity"],
-                                        severity_targets)
+    ord_l = m_ord * _masked_mean(
+        ordinal_bce_per_example(outputs["ordinal_logits"], severity_targets),
+        valid)
+    unc_l = m_unc * _masked_mean(
+        uncertainty_per_example(outputs["mu"], outputs["log_var"],
+                                severity_targets), valid)
+    kan_l = m_kan * _masked_mean(
+        kan_regression_per_example(outputs["kan_severity"],
+                                   severity_targets), valid)
 
     total = cls + lambda_ord * ord_l + mu_unc * unc_l + nu_kan * kan_l
     return {

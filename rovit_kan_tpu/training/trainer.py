@@ -119,11 +119,12 @@ def make_eval_step(model, config: Config,
     def step_fn(params, batch):
         x = eval_batch(batch["images"])
         out = model.apply({"params": params}, x, deterministic=True)
+        valid = batch["valid"]
         losses = joint_loss(out, batch["labels"], batch["severity"], 4,
                             lambda_ord=lc.lambda_ord, mu_unc=lc.mu_unc,
                             nu_kan=lc.nu_kan, focal_gamma=lc.focal_gamma,
-                            focal_alpha=alpha, head_mask=head_mask)
-        valid = batch["valid"]
+                            focal_alpha=alpha, head_mask=head_mask,
+                            valid=valid)
         n = jnp.maximum(valid.sum(), 1.0)
         correct = ((jnp.argmax(out["cls_logits"], -1) == batch["labels"])
                    .astype(jnp.float32) * valid).sum()

@@ -3,6 +3,7 @@ torch.nn.functional primitives (clean-room from the published math:
 focal = alpha_t (1-p_t)^g CE; ordinal BCE on [y>k]; heteroscedastic NLL;
 MSE; stage-gated weighted sum)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 import torch
 import torch.nn.functional as F
@@ -136,3 +137,32 @@ def test_joint_loss_mixup_combination():
         float(lm["cls_loss"]),
         lam * float(la["cls_loss"]) + (1 - lam) * float(lb["cls_loss"]),
         rtol=1e-5)
+
+
+def test_joint_loss_valid_mask():
+    """Masked loss over a padded batch == loss over the unpadded rows."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rovit_kan_tpu.training.losses import joint_loss
+
+    rng = np.random.RandomState(0)
+    B, pad = 6, 3
+    out = {
+        "cls_logits": rng.randn(B + pad, 4).astype(np.float32),
+        "ordinal_logits": rng.randn(B + pad, 3).astype(np.float32),
+        "mu": rng.randn(B + pad, 1).astype(np.float32),
+        "log_var": rng.randn(B + pad, 1).astype(np.float32),
+        "kan_severity": rng.rand(B + pad, 1).astype(np.float32) * 3,
+    }
+    labels = rng.randint(0, 4, B + pad)
+    sev = labels.astype(np.float32)
+    valid = np.array([1.0] * B + [0.0] * pad, np.float32)
+
+    masked = joint_loss({k: jnp.asarray(v) for k, v in out.items()},
+                        jnp.asarray(labels), jnp.asarray(sev), 4,
+                        valid=jnp.asarray(valid))
+    unpadded = joint_loss({k: jnp.asarray(v[:B]) for k, v in out.items()},
+                          jnp.asarray(labels[:B]), jnp.asarray(sev[:B]), 4)
+    for k in masked:
+        assert float(masked[k]) == pytest.approx(float(unpadded[k]),
+                                                 abs=1e-6), k
