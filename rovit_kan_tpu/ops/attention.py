@@ -34,23 +34,29 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, n_valid: int):
-    q = q_ref[0].astype(jnp.float32)                  # (N_pad, d)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # Inputs stay in their storage dtype (bf16 under mixed precision): the
+    # MXU's fast path is low-precision operands with fp32 accumulation via
+    # preferred_element_type — upcasting operands first would force full
+    # fp32 matmuls.
+    q = q_ref[0]                                      # (N_pad, d)
+    k = k_ref[0]
+    v = v_ref[0]
     n_pad = q.shape[0]
 
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (N_pad, N_pad)
+        preferred_element_type=jnp.float32)           # (N_pad, N_pad) fp32
 
     if n_valid < n_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
         s = jnp.where(col < n_valid, s, -1e30)
 
+    # Softmax statistics in fp32 regardless of input dtype.
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
-    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0] = jnp.dot(p.astype(v.dtype), v,
+                       preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

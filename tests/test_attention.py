@@ -32,3 +32,26 @@ def test_fused_attention_gradients_match_xla():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-4)
+
+
+def test_fused_attention_bf16_inputs():
+    """bf16 operands (the mixed-precision path) stay close to the fp32
+    XLA reference — softmax statistics are fp32 inside the kernel."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rovit_kan_tpu.ops.attention import fused_attention, _attention_xla
+
+    rng = np.random.RandomState(0)
+    q = rng.randn(2, 3, 197, 64).astype(np.float32)
+    k = rng.randn(2, 3, 197, 64).astype(np.float32)
+    v = rng.randn(2, 3, 197, 64).astype(np.float32)
+    scale = 64 ** -0.5
+    want = np.asarray(_attention_xla(jnp.asarray(q * scale),
+                                     jnp.asarray(k), jnp.asarray(v)))
+    got = np.asarray(fused_attention(
+        jnp.asarray(q * scale, jnp.bfloat16),
+        jnp.asarray(k, jnp.bfloat16),
+        jnp.asarray(v, jnp.bfloat16))).astype(np.float32)
+    # bf16 operand rounding only: ~1e-2 absolute on O(1) values.
+    assert np.abs(got - want).max() < 5e-2
