@@ -50,6 +50,9 @@ class TrainConfig:
     learning_rate: float = 1e-4
     weight_decay: float = 1e-4
     early_stop_patience: int = 10
+    # Gradient accumulation: effective batch = batch_size * accum_steps
+    # (optax.MultiSteps; params update every accum_steps micro-batches).
+    accum_steps: int = 1
     use_curriculum: bool = True
     seeds: List[int] = field(default_factory=lambda: [42, 123, 999])
     stage_1_epochs: int = 10
@@ -124,6 +127,9 @@ class TPUConfig:
     use_pallas_attention: bool = True
     use_pallas_kan: bool = True
     donate_state: bool = True
+    # Rematerialize backbone blocks on backward (activation memory ~ O(1)
+    # in depth instead of O(depth); enables very large batches).
+    remat_backbone: bool = False
 
 
 @dataclass

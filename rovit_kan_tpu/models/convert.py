@@ -167,6 +167,26 @@ def convert_checkpoint_file(pth_path, npz_path=None,
     return params
 
 
+def interpolate_pos_embed(pos_embed: np.ndarray,
+                          target_tokens: int) -> np.ndarray:
+    """Bilinearly resample a ViT position embedding ``(1, 1+N, D)`` to a new
+    patch-grid size (standard resolution-transfer recipe: the CLS position
+    is kept; the N patch positions reshape to their sqrt(N) x sqrt(N) grid
+    and resample to the target grid)."""
+    cls_pos, patch_pos = pos_embed[:, :1], pos_embed[:, 1:]
+    n_src = patch_pos.shape[1]
+    n_dst = target_tokens - 1
+    if n_src == n_dst:
+        return pos_embed
+    gs = int(np.sqrt(n_src))
+    gd = int(np.sqrt(n_dst))
+    d = patch_pos.shape[-1]
+    import jax
+    grid = patch_pos.reshape(1, gs, gs, d)
+    resized = np.asarray(jax.image.resize(grid, (1, gd, gd, d), "bilinear"))
+    return np.concatenate([cls_pos, resized.reshape(1, gd * gd, d)], axis=1)
+
+
 def merge_pretrained(params: Dict, pretrained: Dict, verbose: bool = True) -> Dict:
     """Overlay converted pretrained weights onto a freshly-initialized param
     tree (the reference's ``pretrained=True`` path,
@@ -188,6 +208,15 @@ def merge_pretrained(params: Dict, pretrained: Dict, verbose: bool = True) -> Di
                 rec(dst[k], v, f"{path}{k}/")
             elif np.shape(dst[k]) == np.shape(v):
                 dst[k] = np.asarray(v, dtype=np.float32)
+            elif k == "pos_embed" and np.ndim(v) == 3 \
+                    and np.shape(v)[-1] == np.shape(dst[k])[-1]:
+                # Resolution transfer: resample patch positions to the
+                # target grid (e.g. 224px weights -> other image sizes).
+                dst[k] = interpolate_pos_embed(
+                    np.asarray(v, np.float32), np.shape(dst[k])[1])
+                if verbose:
+                    print(f"  [pretrained] interpolated {path}{k} "
+                          f"{np.shape(v)} -> {np.shape(dst[k])}")
             elif verbose:
                 print(f"  [pretrained] shape mismatch {path}{k}: "
                       f"{np.shape(v)} vs {np.shape(dst[k])} — keeping init")

@@ -58,6 +58,7 @@ class RoViTKAN(nn.Module):
     dtype: Any = jnp.float32          # backbone compute dtype (bf16 for MXU)
     use_pallas_attention: bool = False
     use_pallas_kan: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -73,7 +74,7 @@ class RoViTKAN(nn.Module):
             embed_dim=self.embed_dim, depth=self.depth,
             num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
             dtype=self.dtype, use_pallas=self.use_pallas_attention,
-            name="backbone",
+            remat=self.remat, name="backbone",
         )(x, return_attention=return_attention,
           gradcam_perturbation=gradcam_perturbation)
         feats = bb["features"]                        # (B, 192) fp32
@@ -143,6 +144,7 @@ def build_model(config: Config, *, with_ordinal: bool = True,
         with_kan=with_kan, dtype=dtype,
         use_pallas_attention=config.tpu.use_pallas_attention,
         use_pallas_kan=config.tpu.use_pallas_kan,
+        remat=config.tpu.remat_backbone,
     )
 
 

@@ -153,6 +153,11 @@ class VisionTransformer(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    # Rematerialize each block on the backward pass (jax.checkpoint):
+    # activations are recomputed instead of stored, trading ~1 extra forward
+    # of FLOPs for O(depth) less activation HBM — enables very large batch
+    # training. Off by default (the 5.7M model never needs it at bs<=1024).
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -191,14 +196,20 @@ class VisionTransformer(nn.Module):
 
         attn_maps = []
         norm1_tap = None
+        # Remat only applies on the plain training path (aux outputs would
+        # be recomputed anyway and lax.cond-free static flags keep it simple).
+        block_cls = Block
+        if self.remat and not return_attention \
+                and gradcam_perturbation is None:
+            block_cls = nn.remat(Block, static_argnums=(2,))
         for i in range(self.depth):
             perturb = gradcam_perturbation if i == self.depth - 1 else None
-            x, attn_w, norm1_out = Block(
+            x, attn_w, norm1_out = block_cls(
                 self.embed_dim, self.num_heads, self.mlp_ratio,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas and not return_attention,
                 name=f"blocks_{i}",
-            )(x, return_weights=return_attention, norm1_perturbation=perturb)
+            )(x, return_attention, perturb)
             if return_attention:
                 attn_maps.append(attn_w)
             if i == self.depth - 1:

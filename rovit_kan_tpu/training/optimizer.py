@@ -52,10 +52,15 @@ def build_optimizer(config: Config):
             optax.scale(-learning_rate),
         )
 
-    return optax.inject_hyperparams(make_tx)(
+    tx = optax.inject_hyperparams(make_tx)(
         learning_rate=config.train.learning_rate,
         backbone_scale=0.1,
     )
+    if getattr(config.train, "accum_steps", 1) > 1:
+        # Gradient accumulation: identical math to a large batch (grads are
+        # averaged over accum_steps micro-batches before one update).
+        tx = optax.MultiSteps(tx, every_k_schedule=config.train.accum_steps)
+    return tx
 
 
 def cosine_lr(config: Config, epoch: int) -> float:
@@ -70,7 +75,12 @@ def cosine_lr(config: Config, epoch: int) -> float:
 
 
 def set_hyperparams(opt_state, learning_rate: float, backbone_scale: float):
-    """Functionally update injected hyperparams on an optimizer state."""
+    """Functionally update injected hyperparams on an optimizer state
+    (reaches through an optax.MultiSteps wrapper when present)."""
+    if hasattr(opt_state, "inner_opt_state"):          # MultiSteps
+        inner = set_hyperparams(opt_state.inner_opt_state,
+                                learning_rate, backbone_scale)
+        return opt_state._replace(inner_opt_state=inner)
     hp = dict(opt_state.hyperparams)
     hp["learning_rate"] = learning_rate
     hp["backbone_scale"] = backbone_scale

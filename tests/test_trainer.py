@@ -120,3 +120,48 @@ def test_fit_and_resume(tmp_path):
     cfg.train.epochs = next_epoch
     out = tr2.fit(state, start_epoch=next_epoch)
     assert len(out["history"]["train"]) == 1
+
+
+def test_pos_embed_interpolation():
+    from rovit_kan_tpu.models.convert import interpolate_pos_embed
+    pe = np.random.RandomState(0).randn(1, 1 + 196, 8).astype(np.float32)
+    out = interpolate_pos_embed(pe, 1 + 49)         # 14x14 -> 7x7
+    assert out.shape == (1, 50, 8)
+    # CLS position untouched; identity when grids match.
+    np.testing.assert_array_equal(out[:, 0], pe[:, 0])
+    np.testing.assert_array_equal(interpolate_pos_embed(pe, 197), pe)
+
+
+def test_grad_accumulation_matches_large_batch(tmp_path):
+    """accum_steps=2 over two half-batches == one full-batch update."""
+    import jax.numpy as jnp
+    from rovit_kan_tpu.training.optimizer import (build_optimizer,
+                                                  set_hyperparams)
+
+    cfg = _cfg(tmp_path)
+    model = _model()
+    x = np.random.RandomState(0).randn(8, 32, 32, 3).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), x[:1])["params"]
+
+    def grads_of(xs):
+        def loss(p):
+            out = model.apply({"params": p}, jnp.asarray(xs),
+                              deterministic=True)
+            return (out["cls_logits"] ** 2).mean()
+        return jax.grad(loss)(params)
+
+    # Full batch, accum 1.
+    cfg.train.accum_steps = 1
+    tx1 = build_optimizer(cfg)
+    o1 = set_hyperparams(tx1.init(params), 1e-4, 0.1)
+    up_full, _ = tx1.update(grads_of(x), o1, params)
+
+    # Two half batches, accum 2.
+    cfg.train.accum_steps = 2
+    tx2 = build_optimizer(cfg)
+    o2 = set_hyperparams(tx2.init(params), 1e-4, 0.1)
+    _, o2 = tx2.update(grads_of(x[:4]), o2, params)
+    up_acc, _ = tx2.update(grads_of(x[4:]), o2, params)
+
+    for a, b in zip(jax.tree.leaves(up_full), jax.tree.leaves(up_acc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
