@@ -65,15 +65,24 @@ def main():
     preds = np.asarray(model.apply({"params": params}, x,
                                    deterministic=True)["cls_logits"]).argmax(1)
 
+    # Each figure step is error-isolated so one failure doesn't kill the
+    # batch (reference scripts/visualize.py:207-264 wraps every method).
+    def guarded(desc, fn):
+        try:
+            fn()
+        except Exception as e:
+            print(f"  [visualize] {desc} failed: {type(e).__name__}: {e}")
+
     for j in range(n):
         cname = config.data.class_names[labels[j]]
-        roller.visualize(images[j], attn_maps[j],
-                         save_path=out / f"attention_{j:02d}.png",
-                         title=f"{cname} (pred: "
-                               f"{config.data.class_names[preds[j]]})")
-        gc.visualize(images[j], cams[j],
-                     save_path=out / f"gradcam_{j:02d}.png",
-                     title=cname)
+        guarded(f"attention {j}", lambda j=j, cname=cname: roller.visualize(
+            images[j], attn_maps[j],
+            save_path=out / f"attention_{j:02d}.png",
+            title=f"{cname} (pred: "
+                  f"{config.data.class_names[preds[j]]})"))
+        guarded(f"gradcam {j}", lambda j=j, cname=cname: gc.visualize(
+            images[j], cams[j], save_path=out / f"gradcam_{j:02d}.png",
+            title=cname))
 
     # Summary grid: image / rollout overlay / gradcam overlay per sample.
     import matplotlib
@@ -103,12 +112,13 @@ def main():
                             num_knots=model.kan_num_knots,
                             degree=model.kan_degree,
                             output_dir=out)
-        viz.plot_spline_activations()
-        viz.plot_severity_trajectory(outs["features"], labels)
-        viz.plot_severity_distribution(
+        guarded("kan splines", viz.plot_spline_activations)
+        guarded("kan trajectory", lambda: viz.plot_severity_trajectory(
+            outs["features"], labels))
+        guarded("kan violin", lambda: viz.plot_severity_distribution(
             np.asarray(outs["kan_severity"][:, 0]), labels,
-            config.data.class_names)
-        viz.plot_spline_weights_heatmap()
+            config.data.class_names))
+        guarded("kan heatmap", viz.plot_spline_weights_heatmap)
 
     print(f"Wrote {len(list(out.glob('*.png')))} figures to {out}")
 
