@@ -148,22 +148,32 @@ class Loader:
         self.prefetch = prefetch
         self.num_workers = num_workers
         self._epoch = 0
+        self._executor = None
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else (
             (n + self.batch_size - 1) // self.batch_size)
 
+    def _pool(self):
+        # One shared thread pool per Loader (not per batch): thread spawn
+        # overhead off the hot path.
+        if self._executor is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._executor = ThreadPoolExecutor(self.num_workers)
+        return self._executor
+
     def _make_batch(self, idxs: np.ndarray) -> dict:
         bs = self.batch_size
-        first_img, _, _ = self.dataset[int(idxs[0])]
-        images = np.zeros((bs, *first_img.shape), dtype=np.uint8)
+        first = self.dataset[int(idxs[0])]
+        images = np.zeros((bs, *first[0].shape), dtype=np.uint8)
         labels = np.zeros((bs,), dtype=np.int32)
         severity = np.zeros((bs,), dtype=np.float32)
         valid = np.zeros((bs,), dtype=np.float32)
 
         def fill(j, i):
-            img, lab, sev = self.dataset[int(i)]
+            # Row 0 reuses the sample already decoded for the shape probe.
+            img, lab, sev = first if j == 0 else self.dataset[int(i)]
             images[j], labels[j], severity[j] = img, lab, sev
             valid[j] = 1.0
 
@@ -171,9 +181,7 @@ class Loader:
             # PIL decode and the native resize release the GIL, so plain
             # threads parallelize the batch assembly (the reference's
             # DataLoader workers without process/pickle overhead).
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(self.num_workers) as ex:
-                list(ex.map(fill, range(len(idxs)), idxs))
+            list(self._pool().map(fill, range(len(idxs)), idxs))
         else:
             for j, i in enumerate(idxs):
                 fill(j, i)
@@ -196,7 +204,9 @@ class Loader:
             yield from self._batches()
             return
         # Background thread overlaps host decode with device compute (the
-        # TPU analogue of DataLoader workers).
+        # TPU analogue of DataLoader workers). Worker exceptions are
+        # forwarded through the queue and re-raised here — a corrupt image
+        # must fail the epoch, not silently truncate it.
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         SENTINEL = object()
 
@@ -204,8 +214,9 @@ class Loader:
             try:
                 for b in self._batches():
                     q.put(b)
-            finally:
                 q.put(SENTINEL)
+            except BaseException as e:     # noqa: BLE001 — forwarded
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -213,6 +224,9 @@ class Loader:
             b = q.get()
             if b is SENTINEL:
                 break
+            if isinstance(b, BaseException):
+                t.join()
+                raise b
             yield b
         t.join()
 

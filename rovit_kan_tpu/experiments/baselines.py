@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import csv
 import json
-import math
 import time
 import traceback
 from pathlib import Path
@@ -106,9 +105,9 @@ class BaselineExperiment:
                 jax.jit(eval_step), tx)
 
     def _cosine_lr(self, epoch: int) -> float:
-        lr0 = self.config.train.learning_rate
-        return 1e-6 + 0.5 * (lr0 - 1e-6) * (
-            1 + math.cos(math.pi * (epoch - 1) / self.epochs))
+        from rovit_kan_tpu.training.optimizer import cosine_schedule
+        return cosine_schedule(self.config.train.learning_rate, epoch,
+                               self.epochs)
 
     # -- single model ---------------------------------------------------
     def run_single(self, name: str) -> Dict:

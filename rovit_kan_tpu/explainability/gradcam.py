@@ -16,6 +16,7 @@ time through .backward()).
 """
 from __future__ import annotations
 
+import functools
 from pathlib import Path
 from typing import Optional
 
@@ -48,8 +49,12 @@ def _cam_from_grads(acts: jnp.ndarray, grads: jnp.ndarray,
                      jnp.zeros_like(cam))
 
 
+@functools.lru_cache(maxsize=8)
 def make_gradcam_fn(model):
-    """Build the jit'd batched Grad-CAM++ function for a model."""
+    """Build the jit'd batched Grad-CAM++ function for a model.
+
+    Memoized per model (flax modules are hashable dataclasses) so the
+    function-style API doesn't retrace/recompile on every call."""
 
     @jax.jit
     def _gradcam(params, x, class_idx):

@@ -107,7 +107,7 @@ class _MBConv(nn.Module):
     kernel: int
     strides: int
     se_ratio: float = 0.25
-    se_from_expanded: bool = True    # EffNet: SE reduced from *input* chans
+    se_from_input: bool = True       # EffNet: SE reduced from *input* chans
     act: Callable = nn.silu
     se_gate: Callable = nn.sigmoid
     dtype: Any = jnp.float32
@@ -130,7 +130,7 @@ class _MBConv(nn.Module):
                          name="dw_bn")(x)
         x = self.act(x)
         if self.se_ratio > 0:
-            base = inp if self.se_from_expanded else mid
+            base = inp if self.se_from_input else mid
             x = _SqueezeExcite(max(1, int(base * self.se_ratio)),
                                gate=self.se_gate, act=self.act,
                                dtype=self.dtype, name="se")(x)
@@ -165,7 +165,7 @@ class EfficientNetB0(nn.Module):
             for r in range(reps):
                 x = _MBConv(feat, expand, kernel,
                             strides if r == 0 else 1, se_ratio=0.25,
-                            se_from_expanded=True, act=nn.silu,
+                            se_from_input=True, act=nn.silu,
                             dtype=self.dtype, name=f"block{bi}")(x, train)
                 bi += 1
         x = nn.Conv(1280, (1, 1), use_bias=False, dtype=self.dtype,
@@ -210,7 +210,7 @@ class MobileNetV3Large(nn.Module):
             act = _hswish if act_name == "hswish" else nn.relu
             x = _MBConv(feat, exp_size / x.shape[-1], k, strides,
                         se_ratio=0.25 if se else 0.0,
-                        se_from_expanded=False, act=act, se_gate=_hsigmoid,
+                        se_from_input=False, act=act, se_gate=_hsigmoid,
                         dtype=self.dtype, name=f"block{i}")(x, train)
         x = nn.Conv(960, (1, 1), use_bias=False, dtype=self.dtype,
                     name="head_conv")(x)

@@ -50,29 +50,34 @@ def random_flips(key: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
     return images
 
 
+def _grayscale(images: jnp.ndarray) -> jnp.ndarray:
+    return (0.299 * images[..., 0] + 0.587 * images[..., 1]
+            + 0.114 * images[..., 2])
+
+
 def color_jitter(key: jax.Array, images: jnp.ndarray,
                  brightness: float = 0.2, contrast: float = 0.2,
                  saturation: float = 0.2) -> jnp.ndarray:
-    """Per-image brightness/contrast/saturation jitter on [0,1] images
-    (torchvision ColorJitter-style multiplicative factors)."""
+    """Per-image brightness/contrast/saturation jitter on [0,1] images.
+
+    torchvision ColorJitter semantics: each op blends against statistics of
+    the *current* image and clamps to [0,1] before the next op."""
     B = images.shape[0]
     kb, kc, ks = jax.random.split(key, 3)
 
     fb = jax.random.uniform(kb, (B, 1, 1, 1),
                             minval=1 - brightness, maxval=1 + brightness)
-    images = images * fb
+    images = jnp.clip(images * fb, 0.0, 1.0)
 
     fc = jax.random.uniform(kc, (B, 1, 1, 1),
                             minval=1 - contrast, maxval=1 + contrast)
-    # torchvision contrast pivot: mean of the grayscale image.
-    gray = (0.299 * images[..., 0] + 0.587 * images[..., 1]
-            + 0.114 * images[..., 2])
-    pivot = gray.mean(axis=(1, 2))[:, None, None, None]
-    images = (images - pivot) * fc + pivot
+    # torchvision contrast pivot: mean of the current grayscale image.
+    pivot = _grayscale(images).mean(axis=(1, 2))[:, None, None, None]
+    images = jnp.clip((images - pivot) * fc + pivot, 0.0, 1.0)
 
     fs = jax.random.uniform(ks, (B, 1, 1, 1),
                             minval=1 - saturation, maxval=1 + saturation)
-    gray3 = gray[..., None]
+    gray3 = _grayscale(images)[..., None]
     images = (images - gray3) * fs + gray3
 
     return jnp.clip(images, 0.0, 1.0)

@@ -36,6 +36,7 @@ class InferenceEngine:
         self.batch_size = batch_size
         self.mesh = mesh
         self._latencies: list = []
+        self._request_sizes: list = []
 
         if mesh is not None:
             from rovit_kan_tpu.parallel.mesh import replicate
@@ -95,6 +96,7 @@ class InferenceEngine:
         out = self._run(images_u8)
         out = {k: np.asarray(v)[:n] for k, v in out.items()}
         self._latencies.append(time.perf_counter() - t0)
+        self._request_sizes.append(n)
         return out
 
     def predict_stream(self, batches: Iterable[np.ndarray]
@@ -104,14 +106,20 @@ class InferenceEngine:
             yield self.predict(images)
 
     def stats(self) -> Dict[str, float]:
-        lat = np.asarray(self._latencies[1:] or self._latencies)
+        """Rolling serving stats. Throughput uses the ACTUAL image counts
+        served, not the padded batch size; the first (compile) request is
+        excluded from latency/throughput when more exist."""
+        skip = 1 if len(self._latencies) > 1 else 0
+        lat = np.asarray(self._latencies[skip:])
+        sizes = np.asarray(self._request_sizes[skip:])
         if lat.size == 0:
             return {"requests": 0}
         return {
             "requests": len(self._latencies),
+            "images_served": int(np.sum(self._request_sizes)),
             "mean_latency_ms": float(lat.mean() * 1e3),
             "p95_latency_ms": float(np.percentile(lat, 95) * 1e3),
-            "images_per_sec": self.batch_size / float(lat.mean()),
+            "images_per_sec": float(sizes.sum() / lat.sum()),
         }
 
 

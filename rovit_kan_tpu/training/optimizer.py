@@ -63,15 +63,20 @@ def build_optimizer(config: Config):
     return tx
 
 
-def cosine_lr(config: Config, epoch: int) -> float:
-    """LR for a 1-indexed epoch under torch CosineAnnealingLR semantics:
-    ``eta_min + 0.5*(lr0 - eta_min)*(1 + cos(pi * (epoch-1) / T_max))``
-    with T_max = total epochs, stepped once per epoch."""
-    lr0 = config.train.learning_rate
-    eta_min = 1e-6
+def cosine_schedule(lr0: float, epoch: int, total_epochs: int,
+                    eta_min: float = 1e-6) -> float:
+    """torch CosineAnnealingLR value for a 1-indexed epoch:
+    ``eta_min + 0.5*(lr0 - eta_min)*(1 + cos(pi * (epoch-1) / T_max))``."""
     t = epoch - 1
     return eta_min + 0.5 * (lr0 - eta_min) * (
-        1.0 + math.cos(math.pi * t / config.train.epochs))
+        1.0 + math.cos(math.pi * t / total_epochs))
+
+
+def cosine_lr(config: Config, epoch: int) -> float:
+    """Config-bound cosine schedule, stepped once per epoch (reference
+    training/optimizer.py:35-44)."""
+    return cosine_schedule(config.train.learning_rate, epoch,
+                           config.train.epochs)
 
 
 def set_hyperparams(opt_state, learning_rate: float, backbone_scale: float):

@@ -272,6 +272,9 @@ class Trainer:
         if state is None:
             state = self.init_state()
         epochs = epochs or cfg.train.epochs
+        # A fresh fit starts with a fresh patience counter; a stale counter
+        # from a previous early-stopped fit would stop immediately.
+        self.epochs_without_improvement = 0
 
         history: Dict[str, list] = {"train": [], "val": []}
         best_state = state

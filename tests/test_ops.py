@@ -121,3 +121,22 @@ def test_logger_csv_schema(tmp_path):
     assert len(CSV_COLUMNS) == 14          # reference 14-column schema
     assert [r["epoch"] for r in rows] == ["1", "2"]
     assert lg.plot_training_curves() is not None
+
+
+def test_loader_propagates_worker_exception():
+    """A failing sample must raise in the consumer, not silently truncate
+    the epoch (prefetch worker forwards exceptions)."""
+    from rovit_kan_tpu.data.dataset import Loader
+
+    class BadDataset:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i >= 4:
+                raise IOError("corrupt image")
+            return np.zeros((8, 8, 3), np.uint8), 0, 0.0
+
+    loader = Loader(BadDataset(), batch_size=2, prefetch=2, num_workers=1)
+    with pytest.raises(IOError, match="corrupt image"):
+        list(loader)
