@@ -140,3 +140,41 @@ def test_loader_propagates_worker_exception():
     loader = Loader(BadDataset(), batch_size=2, prefetch=2, num_workers=1)
     with pytest.raises(IOError, match="corrupt image"):
         list(loader)
+
+
+def test_device_loader_matches_host_loader():
+    """DeviceLoader yields the same samples as the host Loader contract:
+    fixed shapes, valid-masked tail, full coverage each epoch."""
+    from rovit_kan_tpu.data.device_cache import DeviceLoader
+
+    class TinyDS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            img = np.full((8, 8, 3), i, np.uint8)
+            return img, i % 4, float(i % 4)
+
+    dl = DeviceLoader(TinyDS(), batch_size=4)
+    batches = list(dl)
+    assert len(batches) == 3 == len(dl)
+    seen = []
+    for b in batches:
+        assert b["images"].shape == (4, 8, 8, 3)
+        v = np.asarray(b["valid"]).astype(bool)
+        seen.extend(np.asarray(b["images"])[v][:, 0, 0, 0].tolist())
+        # labels/severity consistent with image content
+        np.testing.assert_array_equal(np.asarray(b["labels"])[v] % 4,
+                                      np.asarray(b["labels"])[v])
+    assert sorted(seen) == list(range(10))
+    # Last batch padded: 2 valid rows.
+    assert float(np.asarray(batches[-1]["valid"]).sum()) == 2.0
+
+    # Shuffled loader still covers everything, different order per epoch.
+    dls = DeviceLoader(TinyDS(), batch_size=5, shuffle=True, seed=1)
+    e1 = np.concatenate([np.asarray(b["images"])[:, 0, 0, 0]
+                         for b in dls])
+    e2 = np.concatenate([np.asarray(b["images"])[:, 0, 0, 0]
+                         for b in dls])
+    assert sorted(e1.tolist()) == sorted(e2.tolist()) == list(range(10))
+    assert not np.array_equal(e1, e2)
