@@ -67,6 +67,39 @@ class DeviceLoader:
         return (self._images.nbytes + self._labels.nbytes
                 + self._severity.nbytes)
 
+    @property
+    def arrays(self):
+        """The device-resident (images, labels, severity) arrays — consumed
+        by the scanned-epoch trainer path."""
+        return self._images, self._labels, self._severity
+
+    def epoch_index_plan(self) -> np.ndarray:
+        """Advance the epoch counter and return the epoch's shuffled
+        ``(steps, batch)`` int32 index matrix (full batches only) for
+        the one-dispatch ``lax.scan`` training path."""
+        self._epoch += 1
+        order = np.arange(self.n)
+        if self.shuffle:
+            np.random.RandomState(self.seed + self._epoch).shuffle(order)
+        steps = self.n // self.batch_size
+        return order[:steps * self.batch_size].reshape(
+            steps, self.batch_size).astype(np.int32)
+
+    def eval_index_plan(self):
+        """Unshuffled full-coverage ``(steps, batch)`` index plan plus the
+        matching ``(steps, batch)`` valid mask (tail zero-padded) for the
+        scanned evaluation path."""
+        bs = self.batch_size
+        steps = (self.n + bs - 1) // bs
+        idx = np.zeros((steps, bs), np.int32)
+        valid = np.zeros((steps, bs), np.float32)
+        flat = np.arange(self.n)
+        for s in range(steps):
+            chunk = flat[s * bs:(s + 1) * bs]
+            idx[s, :len(chunk)] = chunk
+            valid[s, :len(chunk)] = 1.0
+        return idx, valid
+
     def __iter__(self):
         self._epoch += 1
         order = np.arange(self.n)

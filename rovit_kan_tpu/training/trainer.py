@@ -105,7 +105,32 @@ def make_train_step(model, tx, config: Config,
                                step=state.step + 1)
         return new_state, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(step_fn, donate_argnums=(0,)), step_fn
+
+
+def make_scanned_epoch(step_core: Callable) -> Callable:
+    """Compile a WHOLE training epoch as one ``lax.scan`` over batch
+    indices into an HBM-resident dataset (data/device_cache.py).
+
+    One dispatch per epoch: the per-step host round-trip (dispatch latency,
+    which dominates small-model steps) disappears entirely. Signature:
+    ``(state, data, idx_matrix, stage, backbone_live, use_mix) -> (state,
+    mean_metrics)`` where ``data`` is the device-resident
+    {images, labels, severity} arrays and ``idx_matrix`` is the epoch's
+    shuffled ``(steps, batch)`` int32 index plan.
+    """
+
+    def epoch_fn(state: TrainState, images, labels, severity, idx_matrix,
+                 stage, backbone_live, use_mix):
+        def body(state, idx):
+            batch = {"images": images[idx], "labels": labels[idx],
+                     "severity": severity[idx]}
+            return step_core(state, batch, stage, backbone_live, use_mix)
+
+        state, metrics = jax.lax.scan(body, state, idx_matrix)
+        return state, jax.tree.map(lambda m: m.mean(), metrics)
+
+    return jax.jit(epoch_fn, donate_argnums=(0,))
 
 
 def make_eval_step(model, config: Config,
@@ -149,8 +174,10 @@ class Trainer:
         self.focal_alpha = focal_alpha
         self.seed = seed
 
-        self.train_step = make_train_step(model, self.tx, config, focal_alpha)
+        self.train_step, self._step_core = make_train_step(
+            model, self.tx, config, focal_alpha)
         self.eval_step = make_eval_step(model, config, focal_alpha)
+        self._scanned_epoch = None   # built lazily for DeviceLoader input
 
         self.best_val_loss = float("inf")
         self.epochs_without_improvement = 0
@@ -202,6 +229,11 @@ class Trainer:
         state = state.replace(
             opt_state=set_hyperparams(state.opt_state, lr, bb_scale))
 
+        # One-dispatch path: loader with an HBM-resident dataset -> the
+        # whole epoch is a single compiled lax.scan.
+        if hasattr(self.train_loader, "epoch_index_plan"):
+            return self._train_epoch_scanned(state, stage, lr, bb_live)
+
         per_step = []
         use_mix = jnp.float32(1.0 if (self.config.flags.use_mixup
                                       or self.config.flags.use_cutmix)
@@ -229,7 +261,28 @@ class Trainer:
                                      / epoch_s)
         return state, avg
 
+    def _train_epoch_scanned(self, state: TrainState, stage, lr, bb_live):
+        if self._scanned_epoch is None:
+            self._scanned_epoch = make_scanned_epoch(self._step_core)
+        use_mix = jnp.float32(1.0 if (self.config.flags.use_mixup
+                                      or self.config.flags.use_cutmix)
+                              else 0.0)
+        idx = jnp.asarray(self.train_loader.epoch_index_plan())
+        images, labels, severity = self.train_loader.arrays
+        self.step_timer.start()
+        state, metrics = self._scanned_epoch(
+            state, images, labels, severity, idx, jnp.int32(stage),
+            jnp.float32(bb_live), use_mix)
+        avg = {k: float(v) for k, v in metrics.items()}   # syncs
+        epoch_s = self.step_timer.stop()
+        avg["lr"] = lr
+        avg["stage"] = stage
+        avg["images_per_sec"] = idx.size / epoch_s
+        return state, avg
+
     def val_epoch(self, state: TrainState):
+        if hasattr(self.val_loader, "eval_index_plan"):
+            return self._val_epoch_scanned(state)
         sums: Dict[str, float] = {}
         correct = 0.0
         total = 0.0
@@ -246,6 +299,50 @@ class Trainer:
         avg = {k: v / max(n_batches, 1) for k, v in sums.items()}
         avg["accuracy"] = correct / max(total, 1.0)
         return avg
+
+    def _val_epoch_scanned(self, state: TrainState):
+        """Whole validation pass as one lax.scan dispatch (DeviceLoader)."""
+        if not hasattr(self, "_scanned_val"):
+            eval_core = self.eval_step  # jit'd; re-wrap core in scan instead
+            model, cfg = self.model, self.config
+            lc = cfg.loss
+            alpha = (jnp.asarray(self.focal_alpha)
+                     if self.focal_alpha is not None else None)
+            head_mask = model.head_mask
+
+            def body(carry, plan):
+                idx, valid = plan
+                params, images, labels, severity = carry
+                from rovit_kan_tpu.ops.preprocess import eval_batch
+                x = eval_batch(images[idx])
+                out = model.apply({"params": params}, x, deterministic=True)
+                losses = joint_loss(out, labels[idx], severity[idx], 4,
+                                    lambda_ord=lc.lambda_ord,
+                                    mu_unc=lc.mu_unc, nu_kan=lc.nu_kan,
+                                    focal_gamma=lc.focal_gamma,
+                                    focal_alpha=alpha, head_mask=head_mask,
+                                    valid=valid)
+                correct = ((jnp.argmax(out["cls_logits"], -1) == labels[idx])
+                           .astype(jnp.float32) * valid).sum()
+                return carry, {**losses, "correct": correct,
+                               "n": valid.sum()}
+
+            def epoch_fn(params, images, labels, severity, idx, valid):
+                _, m = jax.lax.scan(body, (params, images, labels, severity),
+                                    (idx, valid))
+                out = {k: v.mean() for k, v in m.items()
+                       if k not in ("correct", "n")}
+                out["accuracy"] = m["correct"].sum() / jnp.maximum(
+                    m["n"].sum(), 1.0)
+                return out
+
+            self._scanned_val = jax.jit(epoch_fn)
+
+        idx, valid = self.val_loader.eval_index_plan()
+        images, labels, severity = self.val_loader.arrays
+        m = self._scanned_val(state.params, images, labels, severity,
+                              jnp.asarray(idx), jnp.asarray(valid))
+        return {k: float(v) for k, v in m.items()}
 
     def resume(self, name: str = "best_model"):
         """Restore a saved checkpoint into a fresh TrainState; returns

@@ -165,3 +165,57 @@ def test_grad_accumulation_matches_large_batch(tmp_path):
 
     for a, b in zip(jax.tree.leaves(up_full), jax.tree.leaves(up_acc)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_scanned_epoch_matches_per_batch_path(tmp_path):
+    """DeviceLoader (one-dispatch lax.scan epoch) must produce the same
+    losses as the host-loader per-batch path: same shuffle plan, same RNG
+    stream, same math."""
+    from rovit_kan_tpu.data.device_cache import DeviceLoader
+
+    class ArrayDS:
+        def __init__(self, n=16):
+            rng = np.random.RandomState(0)
+            self.imgs = rng.randint(0, 256, (n, 32, 32, 3)).astype(np.uint8)
+            self.labels = rng.randint(0, 4, n)
+            self.sev = self.labels.astype(np.float32)
+
+        def __len__(self):
+            return len(self.imgs)
+
+        def __getitem__(self, i):
+            return self.imgs[i], int(self.labels[i]), float(self.sev[i])
+
+        def get_class_weights(self):
+            return np.ones(4, np.float32)
+
+    ds = ArrayDS()
+    cfg = _cfg(tmp_path)
+    cfg.train.epochs = 2
+    cfg.paths.checkpoints_dir = tmp_path / "a"
+
+    from rovit_kan_tpu.data.dataset import Loader
+    host_train = Loader(ds, 8, shuffle=True, drop_last=True, seed=7,
+                        prefetch=0)
+    host_val = Loader(ds, 8)
+    tr_host = Trainer(_model(), host_train, host_val, cfg,
+                      mesh=make_mesh(1), seed=3)
+    res_host = tr_host.fit()
+
+    cfg2 = _cfg(tmp_path)
+    cfg2.train.epochs = 2
+    cfg2.paths.checkpoints_dir = tmp_path / "b"
+    dev_train = DeviceLoader(ds, 8, shuffle=True, drop_last=True, seed=7)
+    dev_val = DeviceLoader(ds, 8)
+    tr_dev = Trainer(_model(), dev_train, dev_val, cfg2,
+                     mesh=make_mesh(1), seed=3)
+    res_dev = tr_dev.fit()
+
+    for e in range(2):
+        h = res_host["history"]["train"][e]
+        d = res_dev["history"]["train"][e]
+        assert d["total_loss"] == pytest.approx(h["total_loss"], rel=1e-5)
+        hv = res_host["history"]["val"][e]
+        dv = res_dev["history"]["val"][e]
+        assert dv["total_loss"] == pytest.approx(hv["total_loss"], rel=1e-5)
+        assert dv["accuracy"] == pytest.approx(hv["accuracy"], abs=1e-6)
