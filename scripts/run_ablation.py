@@ -25,6 +25,8 @@ def main():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model + 64px (CI smoke)")
+    p.add_argument("--device-cache", action="store_true",
+                   help="HBM-resident dataset + one-dispatch scan epochs")
     args = p.parse_args()
 
     import jax
@@ -100,10 +102,15 @@ def main():
     val_ds = Subset(ds, order[n_train:n_train + n_val])
     test_ds = Subset(ds, order[n_train + n_val:])
 
-    train_l = Loader(train_ds, batch_size, shuffle=True, drop_last=True,
-                     seed=args.seed)
-    val_l = Loader(val_ds, batch_size)
-    test_l = Loader(test_ds, batch_size)
+    if args.device_cache:
+        from rovit_kan_tpu.data.device_cache import device_cache_loaders
+        train_l, val_l, test_l = device_cache_loaders(
+            train_ds, val_ds, test_ds, batch_size, seed=args.seed)
+    else:
+        train_l = Loader(train_ds, batch_size, shuffle=True, drop_last=True,
+                         seed=args.seed)
+        val_l = Loader(val_ds, batch_size)
+        test_l = Loader(test_ds, batch_size)
 
     focal_alpha = train_ds.get_class_weights()
     mesh = make_mesh(args.devices)
