@@ -27,7 +27,7 @@ from rovit_kan_tpu.ops.spline import (
     num_basis_functions,
     kan_layer_apply,
 )
-from rovit_kan_tpu.ops.kan_kernel import fused_kan_layer
+from rovit_kan_tpu.ops.kan_kernel import fused_kan_layer, fused_kan_module
 
 
 class KANLayer(nn.Module):
@@ -37,21 +37,28 @@ class KANLayer(nn.Module):
     degree: int = 3
     use_pallas: bool = False
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         num_basis = num_basis_functions(self.num_knots, self.degree)
         # N(0, 0.1^2) init, matching reference models/kan.py:63-65.
-        spline_weights = self.param(
+        self.spline_weights = self.param(
             "spline_weights", nn.initializers.normal(0.1),
             (self.in_features, self.out_features, num_basis), jnp.float32)
-        kernel = self.param(
+        self.kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (self.in_features, self.out_features), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros,
-                          (self.out_features,), jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.out_features,), jnp.float32)
+
+    def param_tuple(self):
+        """(spline_weights, kernel, bias) — consumed by the module-level
+        fused kernel."""
+        return self.spline_weights, self.kernel, self.bias
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         knots = make_knots(self.num_knots, self.degree)
         fn = fused_kan_layer if self.use_pallas else kan_layer_apply
-        return fn(x, spline_weights, kernel, bias, knots, self.degree)
+        return fn(x, self.spline_weights, self.kernel, self.bias, knots,
+                  self.degree)
 
 
 class KANSeverityModule(nn.Module):
@@ -69,6 +76,15 @@ class KANSeverityModule(nn.Module):
         ]
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.use_pallas:
+            # Whole-module fusion: one kernel launch, all layers + ReLUs +
+            # the final squash VMEM-resident (ops/kan_kernel.py).
+            flat = []
+            for layer in self.kan_layers:
+                flat.extend(layer.param_tuple())
+            return fused_kan_module(
+                x, tuple(flat), tuple(self.layer_dims),
+                make_knots(self.num_knots, self.degree), self.degree)
         for layer in self.kan_layers[:-1]:
             x = nn.relu(layer(x))
         x = self.kan_layers[-1](x)

@@ -136,3 +136,36 @@ def test_fused_kan_kernel_gradients():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_fused_kan_module_matches_xla_stack():
+    """Whole-module Pallas fusion == the layer-by-layer XLA path (values
+    and gradients)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rovit_kan_tpu.models.kan import KANSeverityModule
+
+    dims = (24, 8, 1)
+    x = jnp.asarray(np.random.RandomState(0).randn(10, 24), jnp.float32)
+    plain = KANSeverityModule(dims, use_pallas=False)
+    fused = KANSeverityModule(dims, use_pallas=True)
+    params = plain.init(jax.random.PRNGKey(0), x)["params"]
+
+    # Same param tree structure (converter compatibility).
+    p2 = fused.init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree.structure(params) == jax.tree.structure(p2)
+
+    y_plain = plain.apply({"params": params}, x)
+    y_fused = fused.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_plain),
+                               atol=1e-5)
+    assert float(y_fused.min()) >= 0.0 and float(y_fused.max()) <= 3.0
+
+    def loss(m, p):
+        return (m.apply({"params": p}, x) ** 2).sum()
+
+    g_plain = jax.grad(lambda p: loss(plain, p))(params)
+    g_fused = jax.grad(lambda p: loss(fused, p))(params)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
