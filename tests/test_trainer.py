@@ -133,35 +133,36 @@ def test_pos_embed_interpolation():
 
 
 def test_grad_accumulation_matches_large_batch(tmp_path):
-    """accum_steps=2 over two half-batches == one full-batch update."""
+    """accum_steps=2 over two half-batch grads == one full-batch update
+    (pure optimizer semantics — no model compile needed)."""
     import jax.numpy as jnp
     from rovit_kan_tpu.training.optimizer import (build_optimizer,
                                                   set_hyperparams)
 
     cfg = _cfg(tmp_path)
-    model = _model()
-    x = np.random.RandomState(0).randn(8, 32, 32, 3).astype(np.float32)
-    params = model.init(jax.random.PRNGKey(0), x[:1])["params"]
-
-    def grads_of(xs):
-        def loss(p):
-            out = model.apply({"params": p}, jnp.asarray(xs),
-                              deterministic=True)
-            return (out["cls_logits"] ** 2).mean()
-        return jax.grad(loss)(params)
+    rng = np.random.RandomState(0)
+    params = {"backbone": {"w": jnp.asarray(rng.randn(6, 4), jnp.float32)},
+              "head": {"w": jnp.asarray(rng.randn(4), jnp.float32)}}
+    g1 = jax.tree.map(lambda p: jnp.asarray(
+        rng.randn(*p.shape), jnp.float32), params)
+    g2 = jax.tree.map(lambda p: jnp.asarray(
+        rng.randn(*p.shape), jnp.float32), params)
+    g_mean = jax.tree.map(lambda a, b: (a + b) / 2, g1, g2)
 
     # Full batch, accum 1.
     cfg.train.accum_steps = 1
     tx1 = build_optimizer(cfg)
     o1 = set_hyperparams(tx1.init(params), 1e-4, 0.1)
-    up_full, _ = tx1.update(grads_of(x), o1, params)
+    up_full, _ = tx1.update(g_mean, o1, params)
 
     # Two half batches, accum 2.
     cfg.train.accum_steps = 2
     tx2 = build_optimizer(cfg)
     o2 = set_hyperparams(tx2.init(params), 1e-4, 0.1)
-    _, o2 = tx2.update(grads_of(x[:4]), o2, params)
-    up_acc, _ = tx2.update(grads_of(x[4:]), o2, params)
+    up0, o2 = tx2.update(g1, o2, params)
+    assert max(float(jnp.abs(x).max())
+               for x in jax.tree.leaves(up0)) == 0.0   # no update yet
+    up_acc, _ = tx2.update(g2, o2, params)
 
     for a, b in zip(jax.tree.leaves(up_full), jax.tree.leaves(up_acc)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
