@@ -38,6 +38,9 @@ def main():
     p.add_argument("--device_cache", action="store_true",
                    help="cache the whole dataset in device HBM (pure-XLA "
                         "input pipeline; ~3GB for the full 20k-image set)")
+    p.add_argument("--all_seeds", action="store_true",
+                   help="run every seed in config.train.seeds (default "
+                        "[42, 123, 999]) and report mean/std test metrics")
     args = p.parse_args()
 
     import jax
@@ -101,60 +104,93 @@ def main():
                                    class_names=config.data.class_names,
                                    seed=args.seed + 1)
 
-    train_l, val_l, test_l = create_dataloaders(
-        aug_root, orig_root, config.data.class_names,
-        config.data.severity_map, batch_size=config.train.batch_size,
-        train_val_split=config.data.train_val_split, seed=args.seed,
-        image_size=config.data.image_size)
+    def run_one(seed: int, out_dir: Path):
+        cfg = __import__("copy").deepcopy(config)
+        cfg.paths.checkpoints_dir = out_dir / "checkpoints"
+        cfg.paths.results_dir = out_dir / "results"
+        cfg.paths.logs_dir = out_dir / "logs"
 
-    # Focal alpha from train-split class weights (reference train.py:110-111).
-    focal_alpha = train_l.dataset.get_class_weights()
-    config.loss.focal_alpha = focal_alpha.tolist()
+        train_l, val_l, test_l = create_dataloaders(
+            aug_root, orig_root, cfg.data.class_names,
+            cfg.data.severity_map, batch_size=cfg.train.batch_size,
+            train_val_split=cfg.data.train_val_split, seed=seed,
+            image_size=cfg.data.image_size)
 
-    if args.device_cache:
-        from rovit_kan_tpu.data.device_cache import device_cache_loaders
-        train_l, val_l, test_l = device_cache_loaders(
-            train_l.dataset, val_l.dataset, test_l.dataset,
-            config.train.batch_size, seed=args.seed)
-        print(f"Device cache: {train_l.nbytes / 1e6:.0f} MB train split "
-              f"resident in HBM")
+        # Focal alpha from train-split class weights (reference
+        # train.py:110-111).
+        focal_alpha = train_l.dataset.get_class_weights()
+        cfg.loss.focal_alpha = focal_alpha.tolist()
 
-    mesh = make_mesh(args.devices)
-    model = build_model(config)
-    logger = ExperimentLogger(config.paths.logs_dir, "train")
-    trainer = Trainer(model, train_l, val_l, config, logger=logger,
-                      focal_alpha=focal_alpha, mesh=mesh, seed=args.seed)
+        if args.device_cache:
+            from rovit_kan_tpu.data.device_cache import device_cache_loaders
+            train_l, val_l, test_l = device_cache_loaders(
+                train_l.dataset, val_l.dataset, test_l.dataset,
+                cfg.train.batch_size, seed=seed)
+            print(f"Device cache: {train_l.nbytes / 1e6:.0f} MB train "
+                  f"split resident in HBM")
 
-    start_epoch = 1
-    if args.resume and (config.paths.checkpoints_dir / "best_model").exists():
-        state, start_epoch = trainer.resume()
-        print(f"Resumed from epoch {start_epoch - 1}")
-    else:
-        state = trainer.init_state()
-        if config.model.pretrained_npz:
-            from rovit_kan_tpu.models.convert import (
-                load_npz, merge_pretrained)
-            print(f"Loading pretrained weights: "
-                  f"{config.model.pretrained_npz}")
-            pre = load_npz(config.model.pretrained_npz)
-            state = trainer.init_state(
-                params=merge_pretrained(state.params, pre))
-    print("Parameters:", count_parameters(state.params)["total"])
+        mesh = make_mesh(args.devices)
+        model = build_model(cfg)
+        logger = ExperimentLogger(cfg.paths.logs_dir, "train")
+        trainer = Trainer(model, train_l, val_l, cfg, logger=logger,
+                          focal_alpha=focal_alpha, mesh=mesh, seed=seed)
 
-    if args.profile_dir:
-        from rovit_kan_tpu.utils.profiling import trace
-        with trace(str(args.profile_dir)):
-            state, _ = trainer.train_epoch(state, start_epoch)
-        start_epoch += 1
-        print(f"Profiler trace written to {args.profile_dir}")
+        start_epoch = 1
+        if args.resume and (cfg.paths.checkpoints_dir
+                            / "best_model").exists():
+            state, start_epoch = trainer.resume()
+            print(f"Resumed from epoch {start_epoch - 1}")
+        else:
+            state = trainer.init_state()
+            if cfg.model.pretrained_npz:
+                from rovit_kan_tpu.models.convert import (
+                    load_npz, merge_pretrained)
+                print(f"Loading pretrained weights: "
+                      f"{cfg.model.pretrained_npz}")
+                pre = load_npz(cfg.model.pretrained_npz)
+                state = trainer.init_state(
+                    params=merge_pretrained(state.params, pre))
+        print("Parameters:", count_parameters(state.params)["total"])
 
-    result = trainer.fit(state, start_epoch=start_epoch)
-    logger.plot_training_curves()
+        if args.profile_dir:
+            from rovit_kan_tpu.utils.profiling import trace
+            with trace(str(args.profile_dir)):
+                state, _ = trainer.train_epoch(state, start_epoch)
+            start_epoch += 1
+            print(f"Profiler trace written to {args.profile_dir}")
 
-    evaluator = Evaluator(model, result["best_state"].params, test_l, config,
-                          output_dir=config.paths.results_dir)
-    metrics = evaluator.evaluate()
-    print("Done. Test accuracy:", metrics["accuracy"])
+        result = trainer.fit(state, start_epoch=start_epoch)
+        logger.plot_training_curves()
+
+        evaluator = Evaluator(model, result["best_state"].params, test_l,
+                              cfg, output_dir=cfg.paths.results_dir)
+        return evaluator.evaluate()
+
+    if not args.all_seeds:
+        metrics = run_one(args.seed, args.output_dir)
+        print("Done. Test accuracy:", metrics["accuracy"])
+        return
+
+    # Multi-seed sweep (config.train.seeds; the reference records the same
+    # seed list in its TrainConfig but never implements the sweep).
+    import json
+    all_metrics = {}
+    for seed in config.train.seeds:
+        print(f"===== seed {seed} =====")
+        all_metrics[seed] = run_one(seed, args.output_dir / f"seed_{seed}")
+    keys = ("accuracy", "macro_f1", "weighted_f1", "mae", "spearman_rho",
+            "brier_score", "ece")
+    summary = {}
+    for k in keys:
+        vals = np.asarray([m[k] for m in all_metrics.values()], np.float64)
+        summary[k] = {"mean": float(vals.mean()), "std": float(vals.std()),
+                      "per_seed": {str(s): float(m[k])
+                                   for s, m in all_metrics.items()}}
+    (args.output_dir / "seed_summary.json").write_text(
+        json.dumps(summary, indent=2))
+    print("Seed sweep summary (mean ± std):")
+    for k in keys:
+        print(f"  {k:14s} {summary[k]['mean']:.4f} ± {summary[k]['std']:.4f}")
 
 
 if __name__ == "__main__":
