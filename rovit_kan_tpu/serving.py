@@ -16,7 +16,7 @@ micro-benchmark. This engine is the deployment-shaped equivalent:
 from __future__ import annotations
 
 import time
-from typing import Any, Dict, Iterable, Iterator, Optional
+from typing import Dict, Iterable, Iterator
 
 import jax
 import jax.numpy as jnp

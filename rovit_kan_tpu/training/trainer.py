@@ -20,7 +20,6 @@ for the TPU execution model:
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Callable, Dict, Optional
 
@@ -303,7 +302,6 @@ class Trainer:
     def _val_epoch_scanned(self, state: TrainState):
         """Whole validation pass as one lax.scan dispatch (DeviceLoader)."""
         if not hasattr(self, "_scanned_val"):
-            eval_core = self.eval_step  # jit'd; re-wrap core in scan instead
             model, cfg = self.model, self.config
             lc = cfg.loss
             alpha = (jnp.asarray(self.focal_alpha)
