@@ -13,9 +13,16 @@ pure XLA.
 (yields the same fixed-shape dict batches), so Trainer/Evaluator run
 unchanged. Epoch shuffling happens host-side on int32 indices (cheap);
 the per-batch gather is jit-compiled once.
+
+Data parallelism: pass a ``Mesh`` — the arrays replicate across it (each
+chip holds a dataset copy; budget HBM accordingly) and the Trainer's
+scanned-epoch path shards each gathered batch over the mesh with a
+sharding constraint, so the step math runs SPMD exactly like the host
+path.
 """
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import jax
@@ -28,17 +35,35 @@ class DeviceLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0,
-                 device: Optional[jax.Device] = None):
+                 device: Optional[jax.Device] = None, mesh=None,
+                 num_workers: int = 4):
         n = len(dataset)
-        first_img, _, _ = dataset[0]
-        images = np.empty((n, *first_img.shape), np.uint8)
+        first = dataset[0]
+        images = np.empty((n, *first[0].shape), np.uint8)
         labels = np.empty((n,), np.int32)
         severity = np.empty((n,), np.float32)
-        for i in range(n):
-            img, lab, sev = dataset[i]
+
+        def fill(i):
+            img, lab, sev = first if i == 0 else dataset[i]
             images[i], labels[i], severity[i] = img, lab, sev
 
-        put = (lambda x: jax.device_put(x, device)) if device else jnp.asarray
+        if num_workers > 1 and n > 1:
+            # Parallel decode (PIL and the native resize release the GIL) —
+            # same pattern as Loader._make_batch.
+            with ThreadPoolExecutor(num_workers) as ex:
+                list(ex.map(fill, range(n)))
+        else:
+            for i in range(n):
+                fill(i)
+
+        if mesh is not None:
+            from rovit_kan_tpu.parallel.mesh import replicated_sharding
+            s = replicated_sharding(mesh)
+            put = lambda x: jax.device_put(x, s)           # noqa: E731
+        elif device is not None:
+            put = lambda x: jax.device_put(x, device)      # noqa: E731
+        else:
+            put = jnp.asarray
         self._images = put(images)
         self._labels = put(labels)
         self._severity = put(severity)
@@ -47,6 +72,7 @@ class DeviceLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
+        self.mesh = mesh
         self._epoch = 0
         self.n = n
 
@@ -73,14 +99,21 @@ class DeviceLoader:
         by the scanned-epoch trainer path."""
         return self._images, self._labels, self._severity
 
-    def epoch_index_plan(self) -> np.ndarray:
-        """Advance the epoch counter and return the epoch's shuffled
-        ``(steps, batch)`` int32 index matrix (full batches only) for
-        the one-dispatch ``lax.scan`` training path."""
+    def _epoch_order(self) -> np.ndarray:
+        """Advance the epoch counter and return this epoch's sample order
+        (shared by __iter__ and epoch_index_plan — exactly one of them runs
+        per training epoch)."""
         self._epoch += 1
         order = np.arange(self.n)
         if self.shuffle:
             np.random.RandomState(self.seed + self._epoch).shuffle(order)
+        return order
+
+    def epoch_index_plan(self) -> np.ndarray:
+        """This epoch's shuffled ``(steps, batch)`` int32 index matrix (full
+        batches only — the Trainer routes here only when ``drop_last``) for
+        the one-dispatch ``lax.scan`` training path."""
+        order = self._epoch_order()
         steps = self.n // self.batch_size
         return order[:steps * self.batch_size].reshape(
             steps, self.batch_size).astype(np.int32)
@@ -101,10 +134,7 @@ class DeviceLoader:
         return idx, valid
 
     def __iter__(self):
-        self._epoch += 1
-        order = np.arange(self.n)
-        if self.shuffle:
-            np.random.RandomState(self.seed + self._epoch).shuffle(order)
+        order = self._epoch_order()
         stop = self.n - self.n % self.batch_size if self.drop_last else self.n
         bs = self.batch_size
         for start in range(0, stop, bs):
@@ -119,10 +149,10 @@ class DeviceLoader:
 
 
 def device_cache_loaders(train_ds, val_ds, test_ds, batch_size: int,
-                         seed: int = 42):
+                         seed: int = 42, mesh=None):
     """Build HBM-resident loaders for the standard three splits."""
     train = DeviceLoader(train_ds, batch_size, shuffle=True, drop_last=True,
-                         seed=seed)
-    val = DeviceLoader(val_ds, batch_size)
-    test = DeviceLoader(test_ds, batch_size)
+                         seed=seed, mesh=mesh)
+    val = DeviceLoader(val_ds, batch_size, mesh=mesh)
+    test = DeviceLoader(test_ds, batch_size, mesh=mesh)
     return train, val, test

@@ -107,23 +107,42 @@ def make_train_step(model, tx, config: Config,
     return jax.jit(step_fn, donate_argnums=(0,)), step_fn
 
 
-def make_scanned_epoch(step_core: Callable) -> Callable:
+def _batch_constrainer(mesh, axis_name: str = "data") -> Callable:
+    """Sharding constraint that keeps scanned-epoch batches data-parallel:
+    the dataset arrays are replicated over the mesh, so without this the
+    gathered batch would be replicated too and every chip would redundantly
+    compute the full batch."""
+    if mesh is None or mesh.devices.size <= 1:
+        return lambda b: b
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def constrain(batch):
+        return {k: jax.lax.with_sharding_constraint(
+            v, NamedSharding(mesh, P(axis_name)))
+            for k, v in batch.items()}
+
+    return constrain
+
+
+def make_scanned_epoch(step_core: Callable, mesh=None,
+                       axis_name: str = "data") -> Callable:
     """Compile a WHOLE training epoch as one ``lax.scan`` over batch
     indices into an HBM-resident dataset (data/device_cache.py).
 
     One dispatch per epoch: the per-step host round-trip (dispatch latency,
-    which dominates small-model steps) disappears entirely. Signature:
-    ``(state, data, idx_matrix, stage, backbone_live, use_mix) -> (state,
-    mean_metrics)`` where ``data`` is the device-resident
-    {images, labels, severity} arrays and ``idx_matrix`` is the epoch's
-    shuffled ``(steps, batch)`` int32 index plan.
+    which dominates small-model steps) disappears entirely. With a multi-
+    device ``mesh`` each gathered batch is constrained to shard over the
+    mesh, so the step runs SPMD exactly like the per-batch path. Signature:
+    ``(state, images, labels, severity, idx_matrix, stage, backbone_live,
+    use_mix) -> (state, mean_metrics)``.
     """
+    constrain = _batch_constrainer(mesh, axis_name)
 
     def epoch_fn(state: TrainState, images, labels, severity, idx_matrix,
                  stage, backbone_live, use_mix):
         def body(state, idx):
-            batch = {"images": images[idx], "labels": labels[idx],
-                     "severity": severity[idx]}
+            batch = constrain({"images": images[idx], "labels": labels[idx],
+                               "severity": severity[idx]})
             return step_core(state, batch, stage, backbone_live, use_mix)
 
         state, metrics = jax.lax.scan(body, state, idx_matrix)
@@ -152,9 +171,9 @@ def make_eval_step(model, config: Config,
         n = jnp.maximum(valid.sum(), 1.0)
         correct = ((jnp.argmax(out["cls_logits"], -1) == batch["labels"])
                    .astype(jnp.float32) * valid).sum()
-        return {**losses, "correct": correct, "n": n, "outputs": out}
+        return {**losses, "correct": correct, "n": n}
 
-    return jax.jit(step_fn)
+    return jax.jit(step_fn), step_fn
 
 
 class Trainer:
@@ -175,7 +194,8 @@ class Trainer:
 
         self.train_step, self._step_core = make_train_step(
             model, self.tx, config, focal_alpha)
-        self.eval_step = make_eval_step(model, config, focal_alpha)
+        self.eval_step, self._eval_core = make_eval_step(
+            model, config, focal_alpha)
         self._scanned_epoch = None   # built lazily for DeviceLoader input
 
         self.best_val_loss = float("inf")
@@ -229,8 +249,11 @@ class Trainer:
             opt_state=set_hyperparams(state.opt_state, lr, bb_scale))
 
         # One-dispatch path: loader with an HBM-resident dataset -> the
-        # whole epoch is a single compiled lax.scan.
-        if hasattr(self.train_loader, "epoch_index_plan"):
+        # whole epoch is a single compiled lax.scan. Requires drop_last
+        # (full batches only); otherwise fall through to the per-batch
+        # iterator, which pads + masks the tail.
+        if hasattr(self.train_loader, "epoch_index_plan") \
+                and getattr(self.train_loader, "drop_last", False):
             return self._train_epoch_scanned(state, stage, lr, bb_live)
 
         per_step = []
@@ -262,7 +285,8 @@ class Trainer:
 
     def _train_epoch_scanned(self, state: TrainState, stage, lr, bb_live):
         if self._scanned_epoch is None:
-            self._scanned_epoch = make_scanned_epoch(self._step_core)
+            self._scanned_epoch = make_scanned_epoch(self._step_core,
+                                                     mesh=self.mesh)
         use_mix = jnp.float32(1.0 if (self.config.flags.use_mixup
                                       or self.config.flags.use_cutmix)
                               else 0.0)
@@ -300,30 +324,20 @@ class Trainer:
         return avg
 
     def _val_epoch_scanned(self, state: TrainState):
-        """Whole validation pass as one lax.scan dispatch (DeviceLoader)."""
+        """Whole validation pass as one lax.scan dispatch (DeviceLoader) —
+        same step math as the per-batch path (shared ``_eval_core``)."""
         if not hasattr(self, "_scanned_val"):
-            model, cfg = self.model, self.config
-            lc = cfg.loss
-            alpha = (jnp.asarray(self.focal_alpha)
-                     if self.focal_alpha is not None else None)
-            head_mask = model.head_mask
+            eval_core = self._eval_core
+            constrain = _batch_constrainer(self.mesh)
 
             def body(carry, plan):
                 idx, valid = plan
                 params, images, labels, severity = carry
-                from rovit_kan_tpu.ops.preprocess import eval_batch
-                x = eval_batch(images[idx])
-                out = model.apply({"params": params}, x, deterministic=True)
-                losses = joint_loss(out, labels[idx], severity[idx], 4,
-                                    lambda_ord=lc.lambda_ord,
-                                    mu_unc=lc.mu_unc, nu_kan=lc.nu_kan,
-                                    focal_gamma=lc.focal_gamma,
-                                    focal_alpha=alpha, head_mask=head_mask,
-                                    valid=valid)
-                correct = ((jnp.argmax(out["cls_logits"], -1) == labels[idx])
-                           .astype(jnp.float32) * valid).sum()
-                return carry, {**losses, "correct": correct,
-                               "n": valid.sum()}
+                batch = constrain({"images": images[idx],
+                                   "labels": labels[idx],
+                                   "severity": severity[idx],
+                                   "valid": valid})
+                return carry, eval_core(params, batch)
 
             def epoch_fn(params, images, labels, severity, idx, valid):
                 _, m = jax.lax.scan(body, (params, images, labels, severity),

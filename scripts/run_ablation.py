@@ -102,10 +102,12 @@ def main():
     val_ds = Subset(ds, order[n_train:n_train + n_val])
     test_ds = Subset(ds, order[n_train + n_val:])
 
+    mesh = make_mesh(args.devices)
     if args.device_cache:
         from rovit_kan_tpu.data.device_cache import device_cache_loaders
         train_l, val_l, test_l = device_cache_loaders(
-            train_ds, val_ds, test_ds, batch_size, seed=args.seed)
+            train_ds, val_ds, test_ds, batch_size, seed=args.seed,
+            mesh=mesh)
     else:
         train_l = Loader(train_ds, batch_size, shuffle=True, drop_last=True,
                          seed=args.seed)
@@ -113,7 +115,6 @@ def main():
         test_l = Loader(test_ds, batch_size)
 
     focal_alpha = train_ds.get_class_weights()
-    mesh = make_mesh(args.devices)
     exp = run_ablation_study(config, train_l, val_l, test_l,
                              args.output_dir, focal_alpha=focal_alpha,
                              epochs=epochs, mesh=mesh, seed=args.seed)

@@ -7,6 +7,7 @@ Flags mirror the reference's ``--data_root --seed --output_dir`` (lines
 data-parallel mesh.
 """
 import argparse
+import copy
 import sys
 from pathlib import Path
 
@@ -105,7 +106,7 @@ def main():
                                    seed=args.seed + 1)
 
     def run_one(seed: int, out_dir: Path):
-        cfg = __import__("copy").deepcopy(config)
+        cfg = copy.deepcopy(config)
         cfg.paths.checkpoints_dir = out_dir / "checkpoints"
         cfg.paths.results_dir = out_dir / "results"
         cfg.paths.logs_dir = out_dir / "logs"
@@ -121,15 +122,15 @@ def main():
         focal_alpha = train_l.dataset.get_class_weights()
         cfg.loss.focal_alpha = focal_alpha.tolist()
 
+        mesh = make_mesh(args.devices)
         if args.device_cache:
             from rovit_kan_tpu.data.device_cache import device_cache_loaders
             train_l, val_l, test_l = device_cache_loaders(
                 train_l.dataset, val_l.dataset, test_l.dataset,
-                cfg.train.batch_size, seed=seed)
+                cfg.train.batch_size, seed=seed, mesh=mesh)
             print(f"Device cache: {train_l.nbytes / 1e6:.0f} MB train "
-                  f"split resident in HBM")
-
-        mesh = make_mesh(args.devices)
+                  f"split resident in HBM (replicated over "
+                  f"{mesh.devices.size} device(s))")
         model = build_model(cfg)
         logger = ExperimentLogger(cfg.paths.logs_dir, "train")
         trainer = Trainer(model, train_l, val_l, cfg, logger=logger,

@@ -90,3 +90,41 @@ def test_replicated_params_layout():
     state = trainer.init_state()
     leaf = jax.tree.leaves(state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_scanned_epoch_dp_matches_single_device():
+    """DeviceLoader + scanned lax.scan epoch on an 8-device mesh must match
+    the 1-device scanned run (batch sharding constraint keeps it SPMD)."""
+    from rovit_kan_tpu.data.device_cache import DeviceLoader
+
+    class ArrayDS:
+        def __init__(self, n=32):
+            rng = np.random.RandomState(0)
+            self.imgs = rng.randint(0, 256, (n, 32, 32, 3)).astype(np.uint8)
+            self.labels = rng.randint(0, 4, n)
+
+        def __len__(self):
+            return len(self.imgs)
+
+        def __getitem__(self, i):
+            return self.imgs[i], int(self.labels[i]), float(self.labels[i])
+
+    results = {}
+    for n_dev in (1, 8):
+        cfg, model, mesh, _ = _setup(n_dev)
+        train = DeviceLoader(ArrayDS(), 16, shuffle=True, drop_last=True,
+                             seed=5, mesh=mesh)
+        val = DeviceLoader(ArrayDS(), 16, mesh=mesh)
+        trainer = Trainer(model, train, val, cfg, mesh=mesh, seed=0)
+        state = trainer.init_state()
+        state, m1 = trainer.train_epoch(state, epoch=10)  # stage 4, live bb
+        v = trainer.val_epoch(state)
+        results[n_dev] = (m1["total_loss"], v["total_loss"], v["accuracy"],
+                          np.asarray(jax.tree.leaves(state.params)[0]))
+
+    t1, v1, a1, p1 = results[1]
+    t8, v8, a8, p8 = results[8]
+    assert t1 == pytest.approx(t8, rel=1e-5)
+    assert v1 == pytest.approx(v8, rel=1e-5)
+    assert a1 == pytest.approx(a8, abs=1e-6)
+    np.testing.assert_allclose(p1, p8, atol=1e-6)
