@@ -11,3 +11,10 @@ import jax
 
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: identical programs compiled by different
+# tests (and by successive runs) become cache hits — cuts the single-core
+# suite time substantially.
+from rovit_kan_tpu.utils.compilation_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(".cache/xla_test")
