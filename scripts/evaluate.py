@@ -17,12 +17,20 @@ def main():
     p.add_argument("--output_dir", type=Path, default=Path("outputs/eval"))
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--matmul_precision", default=None,
+                   choices=["bfloat16", "tensorfloat32", "float32"],
+                   help="force XLA matmul precision (TPU default truncates "
+                        "fp32 operands to bf16 on the MXU; use float32 for "
+                        "bit-faithful parity runs at ~1/3 the throughput)")
     args = p.parse_args()
 
     import jax
     from rovit_kan_tpu.utils.compilation_cache import (
         enable_compilation_cache)
     enable_compilation_cache()
+    if args.matmul_precision:
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 

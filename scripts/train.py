@@ -42,12 +42,20 @@ def main():
     p.add_argument("--all_seeds", action="store_true",
                    help="run every seed in config.train.seeds (default "
                         "[42, 123, 999]) and report mean/std test metrics")
+    p.add_argument("--matmul_precision", default=None,
+                   choices=["bfloat16", "tensorfloat32", "float32"],
+                   help="force XLA matmul precision (TPU default truncates "
+                        "fp32 operands to bf16 on the MXU; use float32 for "
+                        "bit-faithful parity runs at ~1/3 the throughput)")
     args = p.parse_args()
 
     import jax
     from rovit_kan_tpu.utils.compilation_cache import (
         enable_compilation_cache)
     enable_compilation_cache()
+    if args.matmul_precision:
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
     if args.cpu:
         jax.config.update("jax_num_cpu_devices", max(args.devices, 1))
         jax.config.update("jax_platforms", "cpu")
