@@ -29,3 +29,24 @@ Package layout:
 __version__ = "0.1.0"
 
 from rovit_kan_tpu.config import Config, get_config  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (keep `import rovit_kan_tpu` light)."""
+    import importlib
+    lazy = {
+        "build_model": ("rovit_kan_tpu.models.rovit_kan", "build_model"),
+        "RoViTKAN": ("rovit_kan_tpu.models.rovit_kan", "RoViTKAN"),
+        "predict": ("rovit_kan_tpu.models.rovit_kan", "predict"),
+        "Trainer": ("rovit_kan_tpu.training.trainer", "Trainer"),
+        "Evaluator": ("rovit_kan_tpu.evaluation.evaluator", "Evaluator"),
+        "InferenceEngine": ("rovit_kan_tpu.serving", "InferenceEngine"),
+        "load_engine": ("rovit_kan_tpu.serving", "load_engine"),
+        "create_dataloaders": ("rovit_kan_tpu.data.dataset",
+                               "create_dataloaders"),
+        "make_mesh": ("rovit_kan_tpu.parallel.mesh", "make_mesh"),
+    }
+    if name in lazy:
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'rovit_kan_tpu' has no attribute {name!r}")
