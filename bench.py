@@ -31,7 +31,10 @@ def main() -> None:
         enable_compilation_cache)
     enable_compilation_cache()
 
-    on_tpu = jax.default_backend() != "cpu"
+    # Same predicate the kernels use for their interpret-mode fallback
+    # (ops/attention.py, ops/kan_kernel.py): Pallas only on a real TPU
+    # backend; elsewhere the plain XLA path is the fast one.
+    on_tpu = jax.default_backend() == "tpu"
     config = get_config()
     config.tpu.use_pallas_attention = on_tpu
     config.tpu.use_pallas_kan = on_tpu

@@ -82,6 +82,11 @@ class ModelConfig:
     pretrained: bool = True
     freeze_backbone: bool = False
     num_classes: int = 4
+    # Structural head toggles (ablation variants); persisted into
+    # checkpoints so evaluate/serving rebuild the exact architecture.
+    with_ordinal: bool = True
+    with_uncertainty: bool = True
+    with_kan: bool = True
     kan_layers: List[int] = field(default_factory=lambda: [192, 64, 16, 1])
     kan_num_knots: int = 5
     kan_degree: int = 3

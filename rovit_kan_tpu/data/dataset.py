@@ -206,29 +206,44 @@ class Loader:
         # Background thread overlaps host decode with device compute (the
         # TPU analogue of DataLoader workers). Worker exceptions are
         # forwarded through the queue and re-raised here — a corrupt image
-        # must fail the epoch, not silently truncate it.
+        # must fail the epoch, not silently truncate it. A stop event keeps
+        # the worker from blocking forever on a full queue when the
+        # consumer abandons the iterator mid-epoch.
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         SENTINEL = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for b in self._batches():
-                    q.put(b)
-                q.put(SENTINEL)
+                    if not put(b):
+                        return
+                put(SENTINEL)
             except BaseException as e:     # noqa: BLE001 — forwarded
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            b = q.get()
-            if b is SENTINEL:
-                break
-            if isinstance(b, BaseException):
-                t.join()
-                raise b
-            yield b
-        t.join()
+        try:
+            while True:
+                b = q.get()
+                if b is SENTINEL:
+                    break
+                if isinstance(b, BaseException):
+                    raise b
+                yield b
+        finally:
+            stop.set()
+            t.join()
 
 
 def create_dataloaders(

@@ -93,6 +93,11 @@ class AblationExperiment:
         cfg.paths.results_dir = exp_dir
         cfg.paths.logs_dir = exp_dir
         cfg.flags.curriculum = variant.use_curriculum
+        # Persisted into the checkpoint so evaluate/serving rebuild the
+        # exact variant architecture.
+        cfg.model.with_ordinal = variant.use_ordinal
+        cfg.model.with_uncertainty = variant.use_uncertainty
+        cfg.model.with_kan = variant.use_kan
         return cfg
 
     def run_single_experiment(self, variant: AblationConfig,

@@ -128,17 +128,18 @@ class BaselineExperiment:
         for epoch in range(1, self.epochs + 1):
             lr = self._cosine_lr(epoch)
             opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
-            sums, nb = {"loss": 0.0, "accuracy": 0.0}, 0
+            per_step = []
             for batch in self.train_loader:
                 batch.pop("valid", None)
                 batch = shard_batch(batch, self.mesh)
                 variables, opt_state, rng, m = train_step(
                     variables, opt_state, rng, batch)
-                nb += 1
-                for k in sums:
-                    sums[k] += float(m[k])
-            print(f"  epoch {epoch:2d} loss {sums['loss']/max(nb,1):.4f} "
-                  f"acc {sums['accuracy']/max(nb,1):.4f}")
+                per_step.append(m)   # device arrays; sync once per epoch
+            nb = max(len(per_step), 1)
+            sums = {k: sum(float(m[k]) for m in per_step)
+                    for k in ("loss", "accuracy")}
+            print(f"  epoch {epoch:2d} loss {sums['loss']/nb:.4f} "
+                  f"acc {sums['accuracy']/nb:.4f}")
         train_time = time.time() - t_train
 
         # Manual test loop (reference baselines.py:173-199).

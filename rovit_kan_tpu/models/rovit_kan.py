@@ -125,12 +125,21 @@ class RoViTKAN(nn.Module):
         }
 
 
-def build_model(config: Config, *, with_ordinal: bool = True,
-                with_uncertainty: bool = True, with_kan: bool = True,
+def build_model(config: Config, *, with_ordinal: Optional[bool] = None,
+                with_uncertainty: Optional[bool] = None,
+                with_kan: Optional[bool] = None,
                 dtype: Optional[Any] = None) -> RoViTKAN:
     """Construct RoViTKAN from a Config (reference models/rovit_kan.py:10-38
-    accepts a Config the same way)."""
+    accepts a Config the same way). Head toggles default to the config's
+    ``model.with_*`` fields (persisted in checkpoints), so ablation-variant
+    checkpoints rebuild their exact architecture."""
     m = config.model
+    if with_ordinal is None:
+        with_ordinal = getattr(m, "with_ordinal", True)
+    if with_uncertainty is None:
+        with_uncertainty = getattr(m, "with_uncertainty", True)
+    if with_kan is None:
+        with_kan = getattr(m, "with_kan", True)
     if dtype is None:
         dtype = jnp.bfloat16 if config.flags.mixed_precision else jnp.float32
     return RoViTKAN(

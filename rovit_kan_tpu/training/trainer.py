@@ -244,6 +244,14 @@ class Trainer:
             yield pending
 
     def train_epoch(self, state: TrainState, epoch: int):
+        # Training requires full batches: zero-padded tail rows would enter
+        # the loss (and leak into real rows through CutMix/MixUp). Loaders
+        # built by create_dataloaders/device_cache_loaders set this.
+        if getattr(self.train_loader, "drop_last", True) is False:
+            raise ValueError(
+                "train_loader must use drop_last=True — padded tail rows "
+                "would be trained on (eval loaders may pad; training must "
+                "not)")
         stage, lr, bb_scale, bb_live = self._epoch_knobs(epoch)
         state = state.replace(
             opt_state=set_hyperparams(state.opt_state, lr, bb_scale))
@@ -360,15 +368,28 @@ class Trainer:
         """Restore a saved checkpoint into a fresh TrainState; returns
         ``(state, next_epoch)`` for continuing ``fit`` (the reference's
         load_checkpoint restores model+optimizer+scheduler state and the
-        epoch counter, trainer.py:327-340)."""
-        ck = self.load_checkpoint(name)
+        epoch counter, trainer.py:327-340).
+
+        The optimizer state restores against a structure template (a fresh
+        ``tx.init``) so NamedTuple field order is preserved — restoring by
+        leaf order would scramble wrapper states like optax.MultiSteps,
+        whose field names are not alphabetical."""
+        from rovit_kan_tpu.utils.checkpoint import load_checkpoint
         rng = jax.random.PRNGKey(self.seed)
-        params = jax.tree.map(jnp.asarray, ck["params"])
-        opt_state = self.tx.init(params)
-        if ck.get("opt_state") is not None:
-            saved = jax.tree.map(jnp.asarray, ck["opt_state"])
-            opt_state = jax.tree.unflatten(
-                jax.tree.structure(opt_state), jax.tree.leaves(saved))
+        k_init, rng = jax.random.split(rng)
+        shape = (1, self.config.data.image_size,
+                 self.config.data.image_size, 3)
+        params_t = self.model.init(k_init, jnp.zeros(shape))["params"]
+        target = {"params": params_t, "opt_state": self.tx.init(params_t)}
+        try:
+            ck = load_checkpoint(self._ckpt_dir() / name, target=target)
+            params, opt_state = ck["params"], ck["opt_state"]
+        except Exception:
+            # Checkpoint without an opt_state (or different optimizer
+            # config): restore params only, optimizer starts fresh.
+            ck = load_checkpoint(self._ckpt_dir() / name)
+            params = jax.tree.map(jnp.asarray, ck["params"])
+            opt_state = self.tx.init(params)
         self.best_val_loss = ck.get("best_val_loss", float("inf"))
         state = TrainState(params=params, opt_state=opt_state, rng=rng,
                            step=jnp.zeros((), jnp.int32))
@@ -381,12 +402,19 @@ class Trainer:
         if state is None:
             state = self.init_state()
         epochs = epochs or cfg.train.epochs
-        # A fresh fit starts with a fresh patience counter; a stale counter
-        # from a previous early-stopped fit would stop immediately.
+        # A fresh fit starts with fresh patience/best trackers; a stale
+        # counter or best-loss from a previous fit would stop immediately /
+        # suppress checkpointing. A resumed fit (start_epoch > 1) keeps the
+        # checkpoint's best_val_loss set by resume().
         self.epochs_without_improvement = 0
+        if start_epoch == 1:
+            self.best_val_loss = float("inf")
 
         history: Dict[str, list] = {"train": [], "val": []}
-        best_state = state
+        # Deep-copy: the incoming state's buffers are donated to the first
+        # train step; if no epoch ever improves (e.g. NaN losses) this
+        # fallback must still be readable.
+        best_state = jax.tree.map(lambda x: x.copy(), state)
         for epoch in range(start_epoch, epochs + 1):
             t0 = time.time()
             state, train_m = self.train_epoch(state, epoch)

@@ -178,3 +178,26 @@ def test_device_loader_matches_host_loader():
                          for b in dls])
     assert sorted(e1.tolist()) == sorted(e2.tolist()) == list(range(10))
     assert not np.array_equal(e1, e2)
+
+
+def test_loader_abandoned_iterator_does_not_leak():
+    """Breaking out of iteration mid-epoch must stop the prefetch worker
+    (no thread blocked forever on a full queue)."""
+    import threading
+    from rovit_kan_tpu.data.dataset import Loader
+
+    class SlowDS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return np.zeros((8, 8, 3), np.uint8), 0, 0.0
+
+    before = threading.active_count()
+    loader = Loader(SlowDS(), batch_size=2, prefetch=2, num_workers=1)
+    it = iter(loader)
+    next(it)
+    it.close()                      # abandon mid-epoch (triggers finally)
+    import time
+    time.sleep(0.5)
+    assert threading.active_count() <= before + 1
