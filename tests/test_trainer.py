@@ -220,3 +220,26 @@ def test_scanned_epoch_matches_per_batch_path(tmp_path):
         dv = res_dev["history"]["val"][e]
         assert dv["total_loss"] == pytest.approx(hv["total_loss"], rel=1e-5)
         assert dv["accuracy"] == pytest.approx(hv["accuracy"], abs=1e-6)
+
+
+def test_resume_with_grad_accumulation(tmp_path):
+    """Optimizer-state restore must preserve optax.MultiSteps structure
+    (leaf-order unflattening scrambles its non-alphabetical fields)."""
+    cfg = _cfg(tmp_path)
+    cfg.train.epochs = 1
+    cfg.train.accum_steps = 2
+    batches = _batches()
+    tr = Trainer(_model(), _FakeLoader(batches), _FakeLoader(batches),
+                 cfg, mesh=make_mesh(1), seed=0)
+    res = tr.fit()
+
+    tr2 = Trainer(_model(), _FakeLoader(batches), _FakeLoader(batches),
+                  cfg, mesh=make_mesh(1), seed=0)
+    state, next_epoch = tr2.resume()
+    # Structure must match a fresh init (NamedTuple fields intact) ...
+    fresh = tr2.tx.init(state.params)
+    assert jax.tree.structure(state.opt_state) == jax.tree.structure(fresh)
+    # ... and a further training step must run.
+    cfg.train.epochs = next_epoch
+    out = tr2.fit(state, start_epoch=next_epoch)
+    assert np.isfinite(out["history"]["train"][0]["total_loss"])
