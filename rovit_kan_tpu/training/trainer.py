@@ -410,6 +410,12 @@ class Trainer:
         if start_epoch == 1:
             self.best_val_loss = float("inf")
 
+        # Align the loader's epoch-keyed shuffle stream with the starting
+        # epoch so a resumed run replays the same batch order it would have
+        # seen uninterrupted.
+        if start_epoch > 1 and hasattr(self.train_loader, "_epoch"):
+            self.train_loader._epoch = start_epoch - 1
+
         history: Dict[str, list] = {"train": [], "val": []}
         # Deep-copy: the incoming state's buffers are donated to the first
         # train step; if no epoch ever improves (e.g. NaN losses) this
