@@ -123,3 +123,33 @@ def test_dropout_active_in_training_mode(tiny_model_and_params):
     d2 = m.apply({"params": params}, x)
     np.testing.assert_array_equal(np.asarray(d1["cls_logits"]),
                                   np.asarray(d2["cls_logits"]))
+
+
+def test_three_class_model_end_to_end():
+    """num_classes != 4 flows through heads, losses, ordinal math, and the
+    evaluator (generality beyond the reference's fixed 4-class setup)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rovit_kan_tpu.models.rovit_kan import RoViTKAN, predict
+    from rovit_kan_tpu.training.losses import joint_loss
+
+    model = RoViTKAN(embed_dim=32, depth=1, num_heads=2, image_size=32,
+                     patch_size=16, num_classes=3, kan_layers=(32, 8, 1),
+                     hidden_dim=16, use_pallas_attention=False,
+                     use_pallas_kan=False)
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 32, 32, 3),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    out = model.apply({"params": params}, x, deterministic=True)
+    assert out["cls_logits"].shape == (4, 3)
+    assert out["ordinal_logits"].shape == (4, 2)        # K-1 thresholds
+
+    labels = jnp.asarray([0, 1, 2, 1])
+    losses = joint_loss(out, labels, labels.astype(jnp.float32), 4)
+    assert np.isfinite(float(losses["total_loss"]))
+
+    p = predict(model, params, x)
+    np.testing.assert_allclose(np.asarray(p["ordinal_probs"]).sum(-1), 1.0,
+                               atol=1e-5)
+    assert p["cls_probs"].shape == (4, 3)
