@@ -41,12 +41,21 @@ class RoseLeafDataset:
         image_size: int = 224,
         mode: str = "original",
         cache: bool = True,
+        transform=None,
+        split: Optional[str] = None,
     ):
+        """``transform``/``split`` match the reference ctor signature
+        (SURVEY.md §2.8): ``transform`` is an optional callable applied to
+        each loaded uint8 HWC image (note: the batch-level augmented
+        pipeline runs on device instead — see data/transforms.py); ``split``
+        is recorded for bookkeeping."""
         self.root_dir = Path(root_dir)
         self.class_names = list(class_names)
         self.severity_map = dict(severity_map)
         self.image_size = image_size
         self.mode = mode
+        self.transform = transform
+        self.split = split
         self.class_to_idx = {c: i for i, c in enumerate(self.class_names)}
 
         self.samples: List[dict] = []
@@ -92,7 +101,10 @@ class RoseLeafDataset:
 
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, int, float]:
         s = self.samples[idx]
-        return self._load_image(idx), s["class_idx"], s["severity"]
+        img = self._load_image(idx)
+        if self.transform is not None:
+            img = self.transform(img)
+        return img, s["class_idx"], s["severity"]
 
     def get_class_weights(self) -> np.ndarray:
         """Inverse-frequency class weights (focal alpha):
