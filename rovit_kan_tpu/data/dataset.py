@@ -167,6 +167,11 @@ class Loader:
         return n // self.batch_size if self.drop_last else (
             (n + self.batch_size - 1) // self.batch_size)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Align the epoch-keyed shuffle stream (resume support) — the
+        next iteration behaves as epoch ``epoch + 1``."""
+        self._epoch = epoch
+
     def _pool(self):
         # One shared thread pool per Loader (not per batch): thread spawn
         # overhead off the hot path.

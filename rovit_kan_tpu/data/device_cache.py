@@ -88,6 +88,10 @@ class DeviceLoader:
             return self.n // self.batch_size
         return (self.n + self.batch_size - 1) // self.batch_size
 
+    def set_epoch(self, epoch: int) -> None:
+        """Align the epoch-keyed shuffle stream (resume support)."""
+        self._epoch = epoch
+
     @property
     def nbytes(self) -> int:
         return (self._images.nbytes + self._labels.nbytes

@@ -98,7 +98,7 @@ def make_train_step(model, tx, config: Config,
 
         acc = jnp.mean((jnp.argmax(out["cls_logits"], -1) == labels)
                        .astype(jnp.float32))
-        metrics = {k: v for k, v in losses.items()}
+        metrics = dict(losses)
         metrics["accuracy"] = acc
         new_state = TrainState(params=params, opt_state=opt_state, rng=rng,
                                step=state.step + 1)
@@ -198,19 +198,23 @@ class Trainer:
             model, config, focal_alpha)
         self._scanned_epoch = None   # built lazily for DeviceLoader input
 
+        self._use_mix = 1.0 if (config.flags.use_mixup
+                                or config.flags.use_cutmix) else 0.0
         self.best_val_loss = float("inf")
         self.epochs_without_improvement = 0
         self.history: Dict[str, list] = {}
         from rovit_kan_tpu.utils.profiling import StepTimer
         self.step_timer = StepTimer(warmup=1)
 
+    def _init_params(self, key):
+        size = self.config.data.image_size
+        return self.model.init(key, jnp.zeros((1, size, size, 3)))["params"]
+
     def init_state(self, params=None) -> TrainState:
         rng = jax.random.PRNGKey(self.seed)
         if params is None:
             k_init, rng = jax.random.split(rng)
-            shape = (1, self.config.data.image_size,
-                     self.config.data.image_size, 3)
-            params = self.model.init(k_init, jnp.zeros(shape))["params"]
+            params = self._init_params(k_init)
         opt_state = self.tx.init(params)
         state = TrainState(params=params, opt_state=opt_state, rng=rng,
                            step=jnp.zeros((), jnp.int32))
@@ -231,9 +235,8 @@ class Trainer:
         """Iterate device-resident batches with one batch of H2D transfer
         in flight ahead of compute (device_put is async — issuing it an
         iteration early overlaps PCIe/ICI transfer with the current step)."""
-        it = iter(loader)
         pending = None
-        for batch in it:
+        for batch in loader:
             if drop_valid:
                 batch.pop("valid", None)
             nxt = shard_batch(batch, self.mesh)
@@ -265,9 +268,7 @@ class Trainer:
             return self._train_epoch_scanned(state, stage, lr, bb_live)
 
         per_step = []
-        use_mix = jnp.float32(1.0 if (self.config.flags.use_mixup
-                                      or self.config.flags.use_cutmix)
-                              else 0.0)
+        use_mix = jnp.float32(self._use_mix)
         self.step_timer.start()
         for batch in self._device_batches(self.train_loader):
             # No host sync inside the loop: metrics stay device arrays and
@@ -295,9 +296,7 @@ class Trainer:
         if self._scanned_epoch is None:
             self._scanned_epoch = make_scanned_epoch(self._step_core,
                                                      mesh=self.mesh)
-        use_mix = jnp.float32(1.0 if (self.config.flags.use_mixup
-                                      or self.config.flags.use_cutmix)
-                              else 0.0)
+        use_mix = jnp.float32(self._use_mix)
         idx = jnp.asarray(self.train_loader.epoch_index_plan())
         images, labels, severity = self.train_loader.arrays
         self.step_timer.start()
@@ -377,9 +376,7 @@ class Trainer:
         from rovit_kan_tpu.utils.checkpoint import load_checkpoint
         rng = jax.random.PRNGKey(self.seed)
         k_init, rng = jax.random.split(rng)
-        shape = (1, self.config.data.image_size,
-                 self.config.data.image_size, 3)
-        params_t = self.model.init(k_init, jnp.zeros(shape))["params"]
+        params_t = self._init_params(k_init)
         target = {"params": params_t, "opt_state": self.tx.init(params_t)}
         try:
             ck = load_checkpoint(self._ckpt_dir() / name, target=target)
@@ -413,8 +410,8 @@ class Trainer:
         # Align the loader's epoch-keyed shuffle stream with the starting
         # epoch so a resumed run replays the same batch order it would have
         # seen uninterrupted.
-        if start_epoch > 1 and hasattr(self.train_loader, "_epoch"):
-            self.train_loader._epoch = start_epoch - 1
+        if start_epoch > 1 and hasattr(self.train_loader, "set_epoch"):
+            self.train_loader.set_epoch(start_epoch - 1)
 
         history: Dict[str, list] = {"train": [], "val": []}
         # Deep-copy: the incoming state's buffers are donated to the first
