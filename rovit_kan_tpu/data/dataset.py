@@ -139,6 +139,14 @@ class Subset:
         return w.astype(np.float32)
 
 
+def epoch_shuffle_seed(seed: int, epoch: int) -> int:
+    """Decorrelated per-epoch shuffle seed. A plain ``seed + epoch`` fold
+    collides across runs (seed 42/epoch 3 == seed 43/epoch 2); a large odd
+    multiplier keeps distinct (seed, epoch) pairs distinct within numpy's
+    32-bit seed space for any realistic epoch count."""
+    return (seed * 1000003 + epoch) % (2 ** 32)
+
+
 class Loader:
     """Fixed-shape numpy batch iterator with optional shuffling + prefetch.
 
@@ -209,7 +217,8 @@ class Loader:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
-            rng = np.random.RandomState(self.seed + self._epoch)
+            rng = np.random.RandomState(
+                epoch_shuffle_seed(self.seed, self._epoch))
             rng.shuffle(order)
         stop = n - n % self.batch_size if self.drop_last else n
         for start in range(0, stop, self.batch_size):
@@ -273,15 +282,27 @@ def create_dataloaders(
     seed: int = 42,
     image_size: int = 224,
     prefetch: int = 2,
+    num_workers: int = 4,
+    augmented_transform=None,
+    original_transform=None,
 ) -> Tuple[Loader, Loader, Loader]:
     """Train/val from the Augmented tree (seeded split), test from Original.
 
-    Mirrors the call contract at reference scripts/train.py:73-84.
+    Mirrors the call contract at reference scripts/train.py:73-84, including
+    the ``augmented_transform``/``original_transform``/``num_workers``
+    kwargs. The transforms are optional *host-side* per-image callables
+    (uint8 HWC -> uint8 HWC), applied at load time exactly where the
+    reference applies its torchvision pipelines; the standard normalize +
+    augmentation pipelines instead run on device inside the jit'd step
+    (data/transforms.py factories over ops/preprocess.py), so most callers
+    leave these None.
     """
     aug = RoseLeafDataset(augmented_root, class_names, severity_map,
-                          image_size=image_size, mode="augmented")
+                          image_size=image_size, mode="augmented",
+                          transform=augmented_transform, split="train")
     test_ds = RoseLeafDataset(original_root, class_names, severity_map,
-                              image_size=image_size, mode="original")
+                              image_size=image_size, mode="original",
+                              transform=original_transform, split="test")
 
     n = len(aug)
     rng = np.random.RandomState(seed)
@@ -291,7 +312,10 @@ def create_dataloaders(
     val_ds = Subset(aug, order[n_train:])
 
     train_loader = Loader(train_ds, batch_size, shuffle=True, drop_last=True,
-                          seed=seed, prefetch=prefetch)
-    val_loader = Loader(val_ds, batch_size, prefetch=prefetch)
-    test_loader = Loader(test_ds, batch_size, prefetch=prefetch)
+                          seed=seed, prefetch=prefetch,
+                          num_workers=num_workers)
+    val_loader = Loader(val_ds, batch_size, prefetch=prefetch,
+                        num_workers=num_workers)
+    test_loader = Loader(test_ds, batch_size, prefetch=prefetch,
+                         num_workers=num_workers)
     return train_loader, val_loader, test_loader

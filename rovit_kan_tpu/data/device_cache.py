@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rovit_kan_tpu.data.dataset import epoch_shuffle_seed
+
 
 class DeviceLoader:
     """Device-resident dataset + fixed-shape batch iterator."""
@@ -110,7 +112,8 @@ class DeviceLoader:
         self._epoch += 1
         order = np.arange(self.n)
         if self.shuffle:
-            np.random.RandomState(self.seed + self._epoch).shuffle(order)
+            np.random.RandomState(
+                epoch_shuffle_seed(self.seed, self._epoch)).shuffle(order)
         return order
 
     def epoch_index_plan(self) -> np.ndarray:

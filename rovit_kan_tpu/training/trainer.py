@@ -269,8 +269,13 @@ class Trainer:
 
         per_step = []
         use_mix = jnp.float32(self._use_mix)
+        total = len(self.train_loader)
+        # 10%-milestone progress prints (reference trainer.py:155-165).
+        # Printing the loss costs one device sync per milestone — 10 syncs
+        # per epoch, off the hot path.
+        milestone = total // 10  # 0 for <10-batch epochs: no spam, no syncs
         self.step_timer.start()
-        for batch in self._device_batches(self.train_loader):
+        for i, batch in enumerate(self._device_batches(self.train_loader)):
             # No host sync inside the loop: metrics stay device arrays and
             # the dispatch queue keeps the chip busy while the host loads
             # the next batch.
@@ -278,6 +283,10 @@ class Trainer:
                 state, batch, jnp.int32(stage), jnp.float32(bb_live),
                 use_mix)
             per_step.append(metrics)
+            if milestone and (i + 1) % milestone == 0 and total:
+                print(f"  Batch {i + 1}/{total} "
+                      f"({100.0 * (i + 1) / total:.0f}%) "
+                      f"loss {float(metrics['total_loss']):.4f}")
         n_batches = len(per_step)
         sums: Dict[str, float] = {}
         for metrics in per_step:                       # syncs once, at end

@@ -123,7 +123,9 @@ def main():
             aug_root, orig_root, cfg.data.class_names,
             cfg.data.severity_map, batch_size=cfg.train.batch_size,
             train_val_split=cfg.data.train_val_split, seed=seed,
-            image_size=cfg.data.image_size)
+            image_size=cfg.data.image_size,
+            prefetch=cfg.data.prefetch_batches,
+            num_workers=cfg.data.num_workers)
 
         # Focal alpha from train-split class weights (reference
         # train.py:110-111).

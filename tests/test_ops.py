@@ -201,3 +201,68 @@ def test_loader_abandoned_iterator_does_not_leak():
     import time
     time.sleep(0.5)
     assert threading.active_count() <= before + 1
+
+
+def test_epoch_shuffle_seed_decorrelated():
+    """seed 42/epoch 3 must NOT replay seed 43/epoch 2 (the naive
+    ``seed + epoch`` fold collides); same (seed, epoch) stays deterministic,
+    and Loader/DeviceLoader share one plan."""
+    from rovit_kan_tpu.data.dataset import Loader, epoch_shuffle_seed
+    from rovit_kan_tpu.data.device_cache import DeviceLoader
+
+    assert epoch_shuffle_seed(42, 3) != epoch_shuffle_seed(43, 2)
+    assert epoch_shuffle_seed(42, 3) == epoch_shuffle_seed(42, 3)
+
+    class SeqDS:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            return np.full((4, 4, 3), i, np.uint8), 0, 0.0
+
+    def order_of(loader):
+        return np.concatenate([np.asarray(b["images"])[:, 0, 0, 0]
+                               for b in loader]).tolist()
+
+    a = Loader(SeqDS(), 4, shuffle=True, seed=42, prefetch=0)
+    b = Loader(SeqDS(), 4, shuffle=True, seed=43, prefetch=0)
+    a.set_epoch(2)   # next epoch -> 3
+    b.set_epoch(1)   # next epoch -> 2
+    assert order_of(a) != order_of(b)
+
+    h = Loader(SeqDS(), 4, shuffle=True, seed=7, prefetch=0)
+    d = DeviceLoader(SeqDS(), 4, shuffle=True, seed=7)
+    assert order_of(h) == order_of(d)
+
+
+def test_create_dataloaders_transform_and_workers(tmp_path):
+    """Reference call contract (scripts/train.py:73-84): host-side
+    augmented/original transforms apply per image; num_workers reaches the
+    loaders."""
+    from rovit_kan_tpu.data.dataset import create_dataloaders
+    from rovit_kan_tpu.data.synthetic import generate_synthetic_dataset
+
+    classes = ["Healthy Leaf", "Black Spot"]
+    sev = {"Healthy Leaf": 0, "Black Spot": 2}
+    generate_synthetic_dataset(tmp_path / "aug", n_per_class=4, size=16,
+                               class_names=classes, seed=0)
+    generate_synthetic_dataset(tmp_path / "orig", n_per_class=2, size=16,
+                               class_names=classes, seed=1)
+
+    marker = np.uint8(7)
+
+    def aug_t(img):
+        img = img.copy(); img[0, 0, 0] = marker; return img
+
+    def orig_t(img):
+        img = img.copy(); img[0, 0, 0] = marker + 1; return img
+
+    train_l, val_l, test_l = create_dataloaders(
+        tmp_path / "aug", tmp_path / "orig", classes, sev, batch_size=4,
+        image_size=16, prefetch=0, num_workers=2,
+        augmented_transform=aug_t, original_transform=orig_t)
+    assert train_l.num_workers == val_l.num_workers == 2
+    tb = next(iter(train_l))
+    assert np.all(np.asarray(tb["images"])[:, 0, 0, 0] == marker)
+    eb = next(iter(test_l))
+    assert np.all(np.asarray(eb["images"])[:, 0, 0, 0] == marker + 1)
