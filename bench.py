@@ -1,14 +1,26 @@
-"""Headline benchmark: DeiT-Tiny+KAN full-model forward throughput.
+"""Headline benchmark: RoViT-KAN forward AND train-step throughput.
 
 Prints ONE JSON line:
     {"metric": "images_per_sec_fwd_bs64", "value": N, "unit": "images/sec",
-     "vs_baseline": N}
+     "vs_baseline": N, "train_step_ips": N, "train_vs_baseline": N,
+     "chip": "...", "implied_tflops_fwd": N, "implied_mfu_fwd": N,
+     "implied_tflops_train": N, "implied_mfu_train": N,
+     "timing_suspect": bool}
 
-Baseline: the reference's recorded inference FPS of 2.6 (bs=1, CPU,
-README.md:315; methodology evaluation/metrics.py:63-93 — 10 warmup + 100
-timed forwards). Here: full 4-head forward (classification + ordinal +
-uncertainty + KAN) at 224px, batch 64, bf16 backbone with Pallas kernels on
-TPU, 10 warmup + 100 timed steps.
+Baselines (reference, CPU):
+- Inference: 2.6 FPS at bs=1 (README.md:315; methodology
+  evaluation/metrics.py:63-93 — 10 warmup + 100 timed forwards).
+- Training: ~6.5 h for 20 epochs over the ~16k-image train split at bs=32
+  (README.md:301-302) → ~13.7 images/sec.
+
+Timing hygiene: some transports report ``block_until_ready`` before the
+device has really finished. Every timed loop here chains each iteration's
+output into a scalar accumulator and the timed window closes with a HOST
+FETCH of that scalar (``float(...)``) — the wall clock cannot stop until
+every step's real bytes exist on the host. As a self-check the line also
+reports implied TFLOP/s (from XLA's own ``cost_analysis`` FLOP count) and
+MFU vs the chip's peak; ``implied_mfu_* > 1`` is physically impossible and
+flips ``timing_suspect``.
 """
 from __future__ import annotations
 
@@ -17,24 +29,57 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-REFERENCE_FPS = 2.6  # reference README.md:315 (bs=1, CPU)
+REFERENCE_FPS = 2.6            # reference README.md:315 (bs=1, CPU)
+REFERENCE_TRAIN_IPS = 13.7     # ~16k imgs x 20 epochs / 6.5 h (README:301)
 BATCH = 64
-WARMUP = 10
-ITERS = 100
+FWD_WARMUP, FWD_ITERS = 10, 100
+TRAIN_WARMUP, TRAIN_ITERS = 5, 50
+
+# Peak bf16 TFLOP/s per chip (public spec sheets), keyed by substring of
+# jax.devices()[0].device_kind.
+CHIP_PEAK_TFLOPS = (
+    ("v6e", 918.0), ("v6", 918.0), ("v5p", 459.0), ("v5e", 197.0),
+    ("v5 lite", 197.0), ("v5litepod", 197.0), ("v5", 459.0),
+    ("v4", 275.0), ("v3", 123.0), ("v2", 45.0),
+)
+
+
+def _chip_peak(kind: str):
+    k = kind.lower()
+    for sub, peak in CHIP_PEAK_TFLOPS:
+        if sub in k:
+            return peak
+    return None
+
+
+def _cost_flops(lowered_compiled) -> float:
+    """XLA's own FLOP estimate for one executable call (0 if unavailable)."""
+    try:
+        ca = lowered_compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or 0.0
+    except Exception:
+        return 0.0
 
 
 def main() -> None:
     from rovit_kan_tpu.config import get_config
     from rovit_kan_tpu.models.rovit_kan import build_model
+    from rovit_kan_tpu.training.optimizer import (build_optimizer,
+                                                  set_hyperparams)
+    from rovit_kan_tpu.training.trainer import TrainState, make_train_step
     from rovit_kan_tpu.utils.compilation_cache import (
         enable_compilation_cache)
     enable_compilation_cache()
 
-    # Same predicate the kernels use for their interpret-mode fallback
-    # (ops/attention.py, ops/kan_kernel.py): Pallas only on a real TPU
-    # backend; elsewhere the plain XLA path is the fast one.
-    on_tpu = jax.default_backend() == "tpu"
+    dev = jax.devices()[0]
+    chip = getattr(dev, "device_kind", str(dev.platform))
+    peak_tflops = _chip_peak(chip) if dev.platform == "tpu" else None
+    on_tpu = dev.platform == "tpu"
+
     config = get_config()
     config.tpu.use_pallas_attention = on_tpu
     config.tpu.use_pallas_kan = on_tpu
@@ -44,28 +89,98 @@ def main() -> None:
     x = jax.random.normal(key, (BATCH, 224, 224, 3), jnp.float32)
     params = model.init(key, x[:1])["params"]
 
+    # ---- forward throughput -------------------------------------------
     @jax.jit
-    def fwd(params, x):
-        return model.apply({"params": params}, x, deterministic=True)
+    def fwd_acc(params, x, acc):
+        out = model.apply({"params": params}, x, deterministic=True)
+        return acc + jnp.sum(out["cls_logits"].astype(jnp.float32))
 
-    out = fwd(params, x)
-    jax.block_until_ready(out)
-    for _ in range(WARMUP):
-        out = fwd(params, x)
-    jax.block_until_ready(out)
+    fwd_flops = _cost_flops(
+        jax.jit(lambda p, x: model.apply({"params": p}, x,
+                                         deterministic=True))
+        .lower(params, x).compile())
+
+    acc = jnp.zeros((), jnp.float32)
+    acc = fwd_acc(params, x, acc)
+    float(acc)                                   # full warm compile + run
+    for _ in range(FWD_WARMUP):
+        acc = fwd_acc(params, x, acc)
+    float(acc)
+
+    acc = jnp.zeros((), jnp.float32)
+    t0 = time.perf_counter()
+    for _ in range(FWD_ITERS):
+        acc = fwd_acc(params, x, acc)
+    # Result-dependent host fetch: the clock stops only once every timed
+    # step's output bytes have reached the host.
+    checksum = float(acc)
+    fwd_dt = time.perf_counter() - t0
+    assert np.isfinite(checksum)
+    fwd_ips = BATCH * FWD_ITERS / fwd_dt
+
+    # ---- train-step throughput -----------------------------------------
+    tx = build_optimizer(config)
+    train_step, _ = make_train_step(model, tx, config)
+    opt_state = set_hyperparams(tx.init(params), 5e-4, 0.1)
+    state = TrainState(params=params, opt_state=opt_state,
+                       rng=jax.random.PRNGKey(1),
+                       step=jnp.zeros((), jnp.int32))
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "images": jnp.asarray(
+            rng.randint(0, 256, (BATCH, 224, 224, 3)), jnp.uint8),
+        "labels": jnp.asarray(rng.randint(0, 4, (BATCH,)), jnp.int32),
+        "severity": jnp.asarray(
+            rng.randint(0, 4, (BATCH,)).astype(np.float32)),
+    }
+    stage, live, mix = jnp.int32(4), jnp.float32(1.0), jnp.float32(1.0)
+
+    train_flops = _cost_flops(
+        train_step.lower(state, batch, stage, live, mix).compile())
+
+    state, metrics = train_step(state, batch, stage, live, mix)
+    float(metrics["total_loss"])
+    for _ in range(TRAIN_WARMUP):
+        state, metrics = train_step(state, batch, stage, live, mix)
+    float(metrics["total_loss"])
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fwd(params, x)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    loss_acc = jnp.zeros((), jnp.float32)
+    for _ in range(TRAIN_ITERS):
+        state, metrics = train_step(state, batch, stage, live, mix)
+        loss_acc = loss_acc + metrics["total_loss"]
+    train_checksum = float(loss_acc)             # host fetch closes window
+    train_dt = time.perf_counter() - t0
+    assert np.isfinite(train_checksum)
+    train_ips = BATCH * TRAIN_ITERS / train_dt
 
-    ips = BATCH * ITERS / dt
+    # ---- MFU self-check -------------------------------------------------
+    def tflops_mfu(ips, flops_per_call):
+        if not flops_per_call:
+            return None, None
+        tf = ips / BATCH * flops_per_call / 1e12
+        mfu = tf / peak_tflops if peak_tflops else None
+        return round(tf, 2), (round(mfu, 4) if mfu is not None else None)
+
+    tf_fwd, mfu_fwd = tflops_mfu(fwd_ips, fwd_flops)
+    tf_train, mfu_train = tflops_mfu(train_ips, train_flops)
+    suspect = any(m is not None and m > 1.0 for m in (mfu_fwd, mfu_train))
+
     print(json.dumps({
         "metric": "images_per_sec_fwd_bs64",
-        "value": round(ips, 2),
+        "value": round(fwd_ips, 2),
         "unit": "images/sec",
-        "vs_baseline": round(ips / REFERENCE_FPS, 2),
+        "vs_baseline": round(fwd_ips / REFERENCE_FPS, 2),
+        "train_step_ips": round(train_ips, 2),
+        "train_vs_baseline": round(train_ips / REFERENCE_TRAIN_IPS, 2),
+        "chip": chip,
+        "peak_tflops_bf16": peak_tflops,
+        "implied_tflops_fwd": tf_fwd,
+        "implied_mfu_fwd": mfu_fwd,
+        "implied_tflops_train": tf_train,
+        "implied_mfu_train": mfu_train,
+        "timing_suspect": suspect,
     }))
 
 

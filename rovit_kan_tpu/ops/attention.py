@@ -63,11 +63,15 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, n_valid: int):
 def _fused_attention_impl(q, k, v, interpret: bool):
     B, h, N, d = q.shape
     n_pad = _round_up(N, 128)
-    d_pad = _round_up(d, 128)
+    # Sequence padding only: ViT head_dim (64) stays unpadded in HBM — the
+    # MXU internally masks a 64-wide contraction either way, but explicit
+    # jnp.pad to 128 would DOUBLE the HBM bytes moved for q/k/v and the
+    # output, plus the VMEM footprint per program. (Verified: padding d was
+    # the round-1 design; this halves kernel HBM traffic at equal FLOPs.)
 
     def prep(x):
         x = x.reshape(B * h, N, d)
-        return jnp.pad(x, ((0, 0), (0, n_pad - N), (0, d_pad - d)))
+        return jnp.pad(x, ((0, 0), (0, n_pad - N), (0, 0)))
 
     q2, k2, v2 = prep(q), prep(k), prep(v)
 
@@ -76,25 +80,25 @@ def _fused_attention_impl(q, k, v, interpret: bool):
         kernel,
         grid=(B * h,),
         in_specs=[
-            pl.BlockSpec((1, n_pad, d_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n_pad, d_pad), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * h, n_pad, d_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B * h, n_pad, d), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * (B * h) * n_pad * n_pad * d_pad,
-            bytes_accessed=4 * (B * h) * n_pad * d_pad * 4,
+            flops=2 * 2 * (B * h) * n_pad * n_pad * d,
+            bytes_accessed=(B * h) * n_pad * d * (3 * q.dtype.itemsize + 4),
             transcendentals=(B * h) * n_pad * n_pad,
         ),
     )(q2, k2, v2)
 
-    out = out[:, :N, :d].reshape(B, h, N, d)
+    out = out[:, :N, :].reshape(B, h, N, d)
     return out
 
 

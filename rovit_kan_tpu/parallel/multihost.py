@@ -61,8 +61,16 @@ def global_mesh(axis_name: str = "data") -> Mesh:
 
 
 def local_batch_slice(global_batch_size: int) -> slice:
-    """The contiguous row range of the global batch this process loads."""
-    per = global_batch_size // jax.process_count()
+    """The contiguous row range of the global batch this process loads.
+
+    Raises when the batch does not divide evenly — silent truncation would
+    drop trailing rows from every batch on every host."""
+    n_proc = jax.process_count()
+    if global_batch_size % n_proc:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by "
+            f"{n_proc} processes — pad or resize the batch")
+    per = global_batch_size // n_proc
     start = per * jax.process_index()
     return slice(start, start + per)
 

@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Pallas-vs-XLA A/B benchmark for the attention + KAN kernels.
+
+Measures full-model forward AND train-step wall time for every combination
+of {pallas, xla} x {bf16, fp32} on the current backend, with the same
+timing hygiene as bench.py (per-iteration output chained into a scalar,
+host fetch inside the timed window). Writes a JSON table to stdout and
+optionally to --out.
+
+This is the measurement VERDICT round 1 asked for: the Pallas forward is
+fused, but its backward is an XLA recompute (ops/attention.py), so whether
+Pallas nets out positive for TRAINING is an empirical question.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def bench_variant(use_pallas: bool, bf16: bool, batch: int,
+                  fwd_iters: int, train_iters: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from rovit_kan_tpu.config import get_config
+    from rovit_kan_tpu.models.rovit_kan import build_model
+    from rovit_kan_tpu.training.optimizer import (build_optimizer,
+                                                  set_hyperparams)
+    from rovit_kan_tpu.training.trainer import TrainState, make_train_step
+
+    config = get_config()
+    config.tpu.use_pallas_attention = use_pallas
+    config.tpu.use_pallas_kan = use_pallas
+    model = build_model(config,
+                        dtype=jnp.bfloat16 if bf16 else jnp.float32)
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (batch, 224, 224, 3), jnp.float32)
+    params = model.init(key, x[:1])["params"]
+
+    @jax.jit
+    def fwd_acc(params, x, acc):
+        out = model.apply({"params": params}, x, deterministic=True)
+        return acc + jnp.sum(out["cls_logits"].astype(jnp.float32))
+
+    acc = fwd_acc(params, x, jnp.zeros((), jnp.float32))
+    float(acc)
+    for _ in range(3):
+        acc = fwd_acc(params, x, acc)
+    float(acc)
+    acc = jnp.zeros((), jnp.float32)
+    t0 = time.perf_counter()
+    for _ in range(fwd_iters):
+        acc = fwd_acc(params, x, acc)
+    assert np.isfinite(float(acc))
+    fwd_ms = (time.perf_counter() - t0) / fwd_iters * 1e3
+
+    tx = build_optimizer(config)
+    train_step, _ = make_train_step(model, tx, config)
+    state = TrainState(params=params,
+                       opt_state=set_hyperparams(tx.init(params), 5e-4, 0.1),
+                       rng=jax.random.PRNGKey(1),
+                       step=jnp.zeros((), jnp.int32))
+    rng = np.random.RandomState(0)
+    bt = {"images": jnp.asarray(
+              rng.randint(0, 256, (batch, 224, 224, 3)), jnp.uint8),
+          "labels": jnp.asarray(rng.randint(0, 4, (batch,)), jnp.int32),
+          "severity": jnp.asarray(
+              rng.randint(0, 4, (batch,)).astype(np.float32))}
+    args = (jnp.int32(4), jnp.float32(1.0), jnp.float32(1.0))
+
+    state, m = train_step(state, bt, *args)
+    float(m["total_loss"])
+    for _ in range(3):
+        state, m = train_step(state, bt, *args)
+    float(m["total_loss"])
+    loss_acc = jnp.zeros((), jnp.float32)
+    t0 = time.perf_counter()
+    for _ in range(train_iters):
+        state, m = train_step(state, bt, *args)
+        loss_acc = loss_acc + m["total_loss"]
+    assert np.isfinite(float(loss_acc))
+    train_ms = (time.perf_counter() - t0) / train_iters * 1e3
+
+    return {"pallas": use_pallas, "bf16": bf16,
+            "fwd_ms": round(fwd_ms, 3), "train_ms": round(train_ms, 3),
+            "fwd_ips": round(batch / fwd_ms * 1e3, 1),
+            "train_ips": round(batch / train_ms * 1e3, 1)}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--fwd_iters", type=int, default=30)
+    p.add_argument("--train_iters", type=int, default=15)
+    p.add_argument("--out", default=None)
+    p.add_argument("--fp32", action="store_true",
+                   help="also run the fp32 variants (slower compile)")
+    args = p.parse_args()
+
+    import jax
+    from rovit_kan_tpu.utils.compilation_cache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
+
+    rows = []
+    combos = [(True, True), (False, True)]
+    if args.fp32:
+        combos += [(True, False), (False, False)]
+    for use_pallas, bf16 in combos:
+        r = bench_variant(use_pallas, bf16, args.batch,
+                          args.fwd_iters, args.train_iters)
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+
+    result = {"device": str(jax.devices()[0].device_kind), "rows": rows}
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
