@@ -37,8 +37,23 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
-    """Device-put a host batch with the leading dim sharded over the mesh."""
+    """Device-put a host batch with the leading dim sharded over the mesh.
+
+    Multi-host aware: under ``jax.distributed`` (process_count > 1) every
+    process passes the SAME logical global batch (loaders are seeded
+    identically on every host); each host device_puts only its
+    ``local_batch_slice`` rows and the shards are assembled into one global
+    array — no host ever materializes remote rows on device.
+    """
     s = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        from rovit_kan_tpu.parallel.multihost import local_batch_slice
+
+        def put(x):
+            sl = local_batch_slice(x.shape[0])
+            return jax.make_array_from_process_local_data(s, x[sl])
+
+        return jax.tree.map(put, batch)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 

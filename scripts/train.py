@@ -28,6 +28,11 @@ def main():
     p.add_argument("--devices", type=int, default=-1,
                    help="data-parallel mesh size (-1 = all)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (TPU pods auto-detect; "
+                        "elsewhere set JAX_COORDINATOR_ADDRESS / "
+                        "JAX_NUM_PROCESSES / JAX_PROCESS_ID) and train over "
+                        "a mesh spanning every host's devices")
     p.add_argument("--pretrained_npz", type=Path, default=None,
                    help="converted timm/reference weights "
                         "(scripts/convert_checkpoint.py)")
@@ -59,6 +64,13 @@ def main():
     if args.cpu:
         jax.config.update("jax_num_cpu_devices", max(args.devices, 1))
         jax.config.update("jax_platforms", "cpu")
+    if args.multihost:
+        from rovit_kan_tpu.parallel.multihost import (
+            maybe_initialize_distributed)
+        active = maybe_initialize_distributed()
+        print(f"Multi-host: {jax.process_count()} process(es), "
+              f"{len(jax.devices())} global device(s)"
+              + ("" if active else " (single-process fallback)"))
 
     import numpy as np
     from rovit_kan_tpu.config import get_config
