@@ -32,7 +32,11 @@ import numpy as np
 def _np(x) -> np.ndarray:
     if hasattr(x, "detach"):
         x = x.detach().cpu().numpy()
-    return np.asarray(x, dtype=np.float32)
+    # Owned copy, never a view: torch's .numpy() shares memory with the
+    # live tensor (and jnp.asarray on CPU can zero-copy numpy), so without
+    # this a later in-place torch optimizer step would silently mutate the
+    # converted tree.
+    return np.array(x, dtype=np.float32, copy=True)
 
 
 def _linear(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:

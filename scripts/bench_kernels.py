@@ -24,8 +24,9 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def bench_variant(use_pallas: bool, bf16: bool, batch: int,
+def bench_variant(use_pallas, bf16: bool, batch: int,
                   fwd_iters: int, train_iters: int) -> dict:
+    """``use_pallas``: bool for both kernels, or a (attention, kan) pair."""
     import jax
     import jax.numpy as jnp
     from rovit_kan_tpu.config import get_config
@@ -34,9 +35,11 @@ def bench_variant(use_pallas: bool, bf16: bool, batch: int,
                                                   set_hyperparams)
     from rovit_kan_tpu.training.trainer import TrainState, make_train_step
 
+    pallas_attn, pallas_kan = (use_pallas if isinstance(use_pallas, tuple)
+                               else (use_pallas, use_pallas))
     config = get_config()
-    config.tpu.use_pallas_attention = use_pallas
-    config.tpu.use_pallas_kan = use_pallas
+    config.tpu.use_pallas_attention = pallas_attn
+    config.tpu.use_pallas_kan = pallas_kan
     model = build_model(config,
                         dtype=jnp.bfloat16 if bf16 else jnp.float32)
 
@@ -88,7 +91,8 @@ def bench_variant(use_pallas: bool, bf16: bool, batch: int,
     assert np.isfinite(float(loss_acc))
     train_ms = (time.perf_counter() - t0) / train_iters * 1e3
 
-    return {"pallas": use_pallas, "bf16": bf16,
+    return {"pallas_attn": pallas_attn, "pallas_kan": pallas_kan,
+            "bf16": bf16,
             "fwd_ms": round(fwd_ms, 3), "train_ms": round(train_ms, 3),
             "fwd_ips": round(batch / fwd_ms * 1e3, 1),
             "train_ips": round(batch / train_ms * 1e3, 1)}
@@ -110,9 +114,11 @@ def main():
     enable_compilation_cache()
 
     rows = []
-    combos = [(True, True), (False, True)]
+    # (attention, kan) pallas flags x bf16; --fp32 adds fp32 repeats.
+    combos = [((True, True), True), ((False, False), True),
+              ((True, False), True), ((False, True), True)]
     if args.fp32:
-        combos += [(True, False), (False, False)]
+        combos += [((True, True), False), ((False, False), False)]
     for use_pallas, bf16 in combos:
         r = bench_variant(use_pallas, bf16, args.batch,
                           args.fwd_iters, args.train_iters)
