@@ -78,11 +78,10 @@ def main() -> None:
     dev = jax.devices()[0]
     chip = getattr(dev, "device_kind", str(dev.platform))
     peak_tflops = _chip_peak(chip) if dev.platform == "tpu" else None
-    on_tpu = dev.platform == "tpu"
 
+    # Default (XLA) compute path: measured faster than the Pallas kernels
+    # at this model size (scripts/bench_kernels.py A/B on TPU v5e).
     config = get_config()
-    config.tpu.use_pallas_attention = on_tpu
-    config.tpu.use_pallas_kan = on_tpu
     model = build_model(config, dtype=jnp.bfloat16)
 
     key = jax.random.PRNGKey(0)

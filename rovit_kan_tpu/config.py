@@ -129,8 +129,13 @@ class TPUConfig:
     # Data-parallel axis size; -1 = all visible devices.
     data_parallel: int = -1
     mesh_axis_name: str = "data"
-    use_pallas_attention: bool = True
-    use_pallas_kan: bool = True
+    # Hand-written Pallas kernels are OFF by default: measured on a real
+    # TPU v5e (scripts/bench_kernels.py, docs/VALIDATION.md "Pallas vs XLA"),
+    # XLA's fused path beats them at this model size — fwd 4.8ms vs 6.9ms,
+    # train-step 15.6ms vs 44.0ms at bs=64/224px bf16. The kernels remain
+    # available (correctness-tested, custom_vjp) for larger configurations.
+    use_pallas_attention: bool = False
+    use_pallas_kan: bool = False
     donate_state: bool = True
     # Rematerialize backbone blocks on backward (activation memory ~ O(1)
     # in depth instead of O(depth); enables very large batches).
