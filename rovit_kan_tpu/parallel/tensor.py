@@ -1,0 +1,140 @@
+"""Tensor-parallel (2-D data x model mesh) sharding rules.
+
+The reference is strictly single-device (SURVEY.md §2 item 17), so pure
+data-parallel replication is *sufficient* for parity — but a TPU framework
+should also scale the model dimension over ICI. This module provides the
+idiomatic GSPMD recipe: a 2-D ``Mesh`` with axes ``("data", "model")`` and
+``PartitionSpec`` rules for the transformer weights (Megatron-style
+column/row sharding of the attention and MLP matmuls); XLA's sharding
+propagation inserts the all-reduces. The train step itself is unchanged —
+the same jit'd function runs 1-device, DP, or DP x TP depending only on how
+its inputs are sharded.
+
+Sharding rules (backbone transformer blocks):
+- ``attn/qkv``  kernel ``(D, 3D)`` -> ``P(None, "model")`` (column), bias
+  ``(3D,)`` -> ``P("model")``: each model shard computes a slice of the
+  fused Q/K/V projection.
+- ``attn/proj`` kernel ``(D, D)``  -> ``P("model", None)`` (row), bias
+  replicated: contraction over the sharded dim ends the attention block
+  with one psum over "model".
+- ``mlp/fc1``   kernel ``(D, 4D)`` -> column; ``mlp/fc2`` ``(4D, D)`` ->
+  row — the classic pair needing a single psum at fc2.
+- Everything else (patch embed, LayerNorms, CLS/pos embeddings, task heads,
+  KAN) is replicated: at DeiT-Tiny scale those are <4% of FLOPs and
+  replication avoids tiny uneven shards.
+
+Note: DeiT-Tiny has 3 attention heads; a model axis that does not divide
+the head count still runs correctly (GSPMD reshards around the
+``(B, N, 3, h, hd)`` reshape) at the cost of an extra collective — head
+counts divisible by the model axis stay on the fast path.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (path-suffix match, leaf name) -> spec. Order matters: first match wins.
+_RULES = (
+    (("attn", "qkv"), "kernel", P(None, "model")),
+    (("attn", "qkv"), "bias", P("model")),
+    (("attn", "proj"), "kernel", P("model", None)),
+    (("attn", "proj"), "bias", P()),
+    (("mlp", "fc1"), "kernel", P(None, "model")),
+    (("mlp", "fc1"), "bias", P("model")),
+    (("mlp", "fc2"), "kernel", P("model", None)),
+    (("mlp", "fc2"), "bias", P()),
+)
+
+
+def make_2d_mesh(data: int = -1, model: int = 1,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """Mesh with axes ``("data", "model")`` over ``data * model`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if data == -1:
+        data = len(devices) // model
+    n = data * model
+    if n > len(devices):
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n]).reshape(data, model),
+                ("data", "model"))
+
+
+def _spec_for_path(path) -> P:
+    names = tuple(getattr(k, "key", getattr(k, "name", str(k)))
+                  for k in path)
+    for suffix, leaf, spec in _RULES:
+        if names[-1] == leaf and names[-1 - len(suffix):-1] == tuple(suffix):
+            return spec
+    return P()
+
+
+def param_specs(params: Any) -> Any:
+    """PartitionSpec pytree for a RoViT-KAN param tree (see module doc)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: _spec_for_path(path), params)
+
+
+def shard_params(params: Any, mesh: Mesh, specs: Any = None) -> Any:
+    """Device-put params onto ``mesh`` per ``specs`` (divisibility-checked:
+    a dim not divisible by its mesh axis falls back to replicated)."""
+    if specs is None:
+        specs = param_specs(params)
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+
+    def put(x, spec):
+        for dim, axis in enumerate(spec):
+            if axis is not None and x.shape[dim] % axis_sizes[axis] != 0:
+                spec = P()
+                break
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, params, specs,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def shard_state(state: Any, mesh: Mesh, specs: Any = None) -> Any:
+    """Shard a TrainState: params (and the optimizer moments, which optax
+    lays out params-shaped) per ``specs``; everything else replicated."""
+    from rovit_kan_tpu.parallel.mesh import replicate
+
+    params = shard_params(state.params, mesh, specs)
+    # Optimizer moments mirror the param tree, so the same rules apply
+    # leaf-for-leaf wherever the structure matches.
+    spec_tree = specs if specs is not None else param_specs(state.params)
+    opt_state = _shard_opt_state(state.opt_state, state.params, mesh,
+                                 spec_tree)
+    rest = replicate({"rng": state.rng, "step": state.step}, mesh)
+    return state.replace(params=params, opt_state=opt_state,
+                         rng=rest["rng"], step=rest["step"])
+
+
+def _shard_opt_state(opt_state, params, mesh: Mesh, spec_tree):
+    """Walk the optax state; any subtree whose structure equals the param
+    tree's is sharded with the param specs, all other leaves replicated."""
+    from rovit_kan_tpu.parallel.mesh import replicate
+
+    param_struct = jax.tree_util.tree_structure(params)
+
+    def is_param_shaped(x):
+        try:
+            return jax.tree_util.tree_structure(x) == param_struct
+        except Exception:
+            return False
+
+    def rec(node):
+        if is_param_shaped(node):
+            return shard_params(node, mesh, spec_tree)
+        if hasattr(node, "_fields"):          # NamedTuple optax states
+            return type(node)(*(rec(getattr(node, f))
+                                for f in node._fields))
+        if isinstance(node, (list, tuple)):
+            return type(node)(rec(c) for c in node)
+        if isinstance(node, dict):
+            return {k: rec(v) for k, v in node.items()}
+        return replicate(node, mesh)
+
+    return rec(opt_state)

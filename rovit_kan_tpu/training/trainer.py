@@ -181,13 +181,18 @@ class Trainer:
 
     def __init__(self, model, train_loader, val_loader, config: Config,
                  logger=None, focal_alpha: Optional[np.ndarray] = None,
-                 mesh=None, seed: int = 42):
+                 mesh=None, seed: int = 42, param_specs=None):
         self.model = model
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.config = config
         self.logger = logger
         self.mesh = mesh if mesh is not None else make_mesh(1)
+        # Optional tensor-parallel PartitionSpec tree (parallel/tensor.py):
+        # when set, params + optimizer moments are sharded over the mesh's
+        # "model" axis instead of replicated; the train/eval steps are
+        # unchanged (GSPMD inserts the collectives).
+        self.param_specs = param_specs
         self.tx = build_optimizer(config)
         self.focal_alpha = focal_alpha
         self.seed = seed
@@ -218,6 +223,12 @@ class Trainer:
         opt_state = self.tx.init(params)
         state = TrainState(params=params, opt_state=opt_state, rng=rng,
                            step=jnp.zeros((), jnp.int32))
+        return self._place_state(state)
+
+    def _place_state(self, state: TrainState) -> TrainState:
+        if self.param_specs is not None:
+            from rovit_kan_tpu.parallel.tensor import shard_state
+            return shard_state(state, self.mesh, self.param_specs)
         return replicate(state, self.mesh)
 
     def _epoch_knobs(self, epoch: int):
@@ -399,7 +410,7 @@ class Trainer:
         self.best_val_loss = ck.get("best_val_loss", float("inf"))
         state = TrainState(params=params, opt_state=opt_state, rng=rng,
                            step=jnp.zeros((), jnp.int32))
-        return replicate(state, self.mesh), ck.get("epoch", 0) + 1
+        return self._place_state(state), ck.get("epoch", 0) + 1
 
     def fit(self, state: Optional[TrainState] = None,
             epochs: Optional[int] = None,

@@ -25,8 +25,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def bench_variant(use_pallas, bf16: bool, batch: int,
-                  fwd_iters: int, train_iters: int) -> dict:
-    """``use_pallas``: bool for both kernels, or a (attention, kan) pair."""
+                  fwd_iters: int, train_iters: int,
+                  scale: dict | None = None) -> dict:
+    """``use_pallas``: bool for both kernels, or a (attention, kan) pair.
+
+    ``scale`` optionally overrides model shape (embed_dim/depth/num_heads/
+    image_size) to test whether kernel fusion pays beyond DeiT-Tiny.
+    """
     import jax
     import jax.numpy as jnp
     from rovit_kan_tpu.config import get_config
@@ -40,11 +45,20 @@ def bench_variant(use_pallas, bf16: bool, batch: int,
     config = get_config()
     config.tpu.use_pallas_attention = pallas_attn
     config.tpu.use_pallas_kan = pallas_kan
+    if scale:
+        config.model.embed_dim = scale.get("embed_dim",
+                                           config.model.embed_dim)
+        config.model.depth = scale.get("depth", config.model.depth)
+        config.model.num_heads = scale.get("num_heads",
+                                           config.model.num_heads)
+        config.data.image_size = scale.get("image_size",
+                                           config.data.image_size)
+    size = config.data.image_size
     model = build_model(config,
                         dtype=jnp.bfloat16 if bf16 else jnp.float32)
 
     key = jax.random.PRNGKey(0)
-    x = jax.random.normal(key, (batch, 224, 224, 3), jnp.float32)
+    x = jax.random.normal(key, (batch, size, size, 3), jnp.float32)
     params = model.init(key, x[:1])["params"]
 
     @jax.jit
@@ -72,7 +86,7 @@ def bench_variant(use_pallas, bf16: bool, batch: int,
                        step=jnp.zeros((), jnp.int32))
     rng = np.random.RandomState(0)
     bt = {"images": jnp.asarray(
-              rng.randint(0, 256, (batch, 224, 224, 3)), jnp.uint8),
+              rng.randint(0, 256, (batch, size, size, 3)), jnp.uint8),
           "labels": jnp.asarray(rng.randint(0, 4, (batch,)), jnp.int32),
           "severity": jnp.asarray(
               rng.randint(0, 4, (batch,)).astype(np.float32))}
@@ -106,7 +120,19 @@ def main():
     p.add_argument("--out", default=None)
     p.add_argument("--fp32", action="store_true",
                    help="also run the fp32 variants (slower compile)")
+    p.add_argument("--embed_dim", type=int, default=None)
+    p.add_argument("--depth", type=int, default=None)
+    p.add_argument("--heads", type=int, default=None)
+    p.add_argument("--image_size", type=int, default=None,
+                   help="e.g. 384 -> 577 tokens (flash-attention regime)")
+    p.add_argument("--attn_only", action="store_true",
+                   help="only the (pallas-attn, xla) vs (xla, xla) pair")
     args = p.parse_args()
+    scale = {k: v for k, v in [("embed_dim", args.embed_dim),
+                               ("depth", args.depth),
+                               ("num_heads", args.heads),
+                               ("image_size", args.image_size)]
+             if v is not None} or None
 
     import jax
     from rovit_kan_tpu.utils.compilation_cache import (
@@ -117,15 +143,18 @@ def main():
     # (attention, kan) pallas flags x bf16; --fp32 adds fp32 repeats.
     combos = [((True, True), True), ((False, False), True),
               ((True, False), True), ((False, True), True)]
+    if args.attn_only:
+        combos = [((True, False), True), ((False, False), True)]
     if args.fp32:
         combos += [((True, True), False), ((False, False), False)]
     for use_pallas, bf16 in combos:
         r = bench_variant(use_pallas, bf16, args.batch,
-                          args.fwd_iters, args.train_iters)
+                          args.fwd_iters, args.train_iters, scale=scale)
         rows.append(r)
         print(json.dumps(r), flush=True)
 
-    result = {"device": str(jax.devices()[0].device_kind), "rows": rows}
+    result = {"device": str(jax.devices()[0].device_kind),
+              "scale": scale, "rows": rows}
     if args.out:
         with open(args.out, "w") as f:
             json.dump(result, f, indent=2)
