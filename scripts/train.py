@@ -27,6 +27,11 @@ def main():
                    help="tiny model + 2 epochs (smoke test)")
     p.add_argument("--devices", type=int, default=-1,
                    help="data-parallel mesh size (-1 = all)")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="model-axis size of a 2-D (data x model) mesh; "
+                        "shards attention+MLP weights Megatron-style "
+                        "(parallel/tensor.py). Total devices = "
+                        "data x model")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (TPU pods auto-detect; "
@@ -144,7 +149,18 @@ def main():
         focal_alpha = train_l.dataset.get_class_weights()
         cfg.loss.focal_alpha = focal_alpha.tolist()
 
-        mesh = make_mesh(args.devices)
+        param_specs = None
+        if args.tensor_parallel > 1:
+            from rovit_kan_tpu.parallel.tensor import make_2d_mesh
+            # --devices counts TOTAL devices; the data axis is the rest.
+            data_ax = (-1 if args.devices == -1
+                       else args.devices // args.tensor_parallel)
+            mesh = make_2d_mesh(data_ax, args.tensor_parallel)
+            param_specs = True    # resolved to a spec tree below
+            print(f"Mesh: data={mesh.devices.shape[0]} x "
+                  f"model={mesh.devices.shape[1]} (tensor parallel)")
+        else:
+            mesh = make_mesh(args.devices)
         if args.device_cache:
             from rovit_kan_tpu.data.device_cache import device_cache_loaders
             train_l, val_l, test_l = device_cache_loaders(
@@ -157,6 +173,10 @@ def main():
         logger = ExperimentLogger(cfg.paths.logs_dir, "train")
         trainer = Trainer(model, train_l, val_l, cfg, logger=logger,
                           focal_alpha=focal_alpha, mesh=mesh, seed=seed)
+        if param_specs:
+            from rovit_kan_tpu.parallel.tensor import param_specs as mk_specs
+            trainer.param_specs = mk_specs(
+                trainer._init_params(jax.random.PRNGKey(seed)))
 
         start_epoch = 1
         if args.resume and (cfg.paths.checkpoints_dir
