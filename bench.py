@@ -2,7 +2,8 @@
 
 Prints ONE JSON line:
     {"metric": "images_per_sec_fwd_bs64", "value": N, "unit": "images/sec",
-     "vs_baseline": N, "train_step_ips": N, "train_vs_baseline": N,
+     "vs_baseline": N, "fps_bs1": N, "fps_bs1_vs_baseline": N,
+     "train_step_ips": N, "train_vs_baseline": N,
      "chip": "...", "implied_tflops_fwd": N, "implied_mfu_fwd": N,
      "implied_tflops_train": N, "implied_mfu_train": N,
      "timing_suspect": bool}
@@ -117,6 +118,21 @@ def main() -> None:
     assert np.isfinite(checksum)
     fwd_ips = BATCH * FWD_ITERS / fwd_dt
 
+    # ---- bs=1 latency (the reference's own FPS methodology: 10 warmup +
+    # 100 timed single-image forwards, evaluation/metrics.py:63-93) -------
+    x1 = x[:1]
+    acc = fwd_acc(params, x1, jnp.zeros((), jnp.float32))
+    float(acc)
+    for _ in range(10):
+        acc = fwd_acc(params, x1, acc)
+    float(acc)
+    acc = jnp.zeros((), jnp.float32)
+    t0 = time.perf_counter()
+    for _ in range(100):
+        acc = fwd_acc(params, x1, acc)
+    assert np.isfinite(float(acc))
+    fps_bs1 = 100 / (time.perf_counter() - t0)
+
     # ---- train-step throughput -----------------------------------------
     tx = build_optimizer(config)
     train_step, _ = make_train_step(model, tx, config)
@@ -171,6 +187,8 @@ def main() -> None:
         "value": round(fwd_ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(fwd_ips / REFERENCE_FPS, 2),
+        "fps_bs1": round(fps_bs1, 2),
+        "fps_bs1_vs_baseline": round(fps_bs1 / REFERENCE_FPS, 2),
         "train_step_ips": round(train_ips, 2),
         "train_vs_baseline": round(train_ips / REFERENCE_TRAIN_IPS, 2),
         "chip": chip,
