@@ -23,6 +23,12 @@ def main():
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic dataset under data_root")
+    p.add_argument("--synthetic_per_class", type=int, default=None,
+                   help="augmented images per class for --synthetic "
+                        "(default 64; 1000 ~= the reference's 4k-image "
+                        "scale)")
+    p.add_argument("--patience", type=int, default=None,
+                   help="override config.train.early_stop_patience")
     p.add_argument("--fast", action="store_true",
                    help="tiny model + 2 epochs (smoke test)")
     p.add_argument("--devices", type=int, default=-1,
@@ -119,8 +125,10 @@ def main():
 
     aug_root = args.data_root / "Augmented Image"
     orig_root = args.data_root / "Original Image"
+    if args.patience is not None:
+        config.train.early_stop_patience = args.patience
     if args.synthetic:
-        n = 8 if args.fast else 64
+        n = args.synthetic_per_class or (8 if args.fast else 64)
         generate_synthetic_dataset(aug_root, n_per_class=n,
                                    size=config.data.image_size,
                                    class_names=config.data.class_names,
