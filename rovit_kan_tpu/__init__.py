@@ -42,6 +42,9 @@ def __getattr__(name):
         "Evaluator": ("rovit_kan_tpu.evaluation.evaluator", "Evaluator"),
         "InferenceEngine": ("rovit_kan_tpu.serving", "InferenceEngine"),
         "load_engine": ("rovit_kan_tpu.serving", "load_engine"),
+        "export_serving": ("rovit_kan_tpu.export", "export_serving"),
+        "save_exported": ("rovit_kan_tpu.export", "save_exported"),
+        "load_exported": ("rovit_kan_tpu.export", "load_exported"),
         "create_dataloaders": ("rovit_kan_tpu.data.dataset",
                                "create_dataloaders"),
         "make_mesh": ("rovit_kan_tpu.parallel.mesh", "make_mesh"),

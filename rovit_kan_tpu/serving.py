@@ -29,6 +29,35 @@ from rovit_kan_tpu.ops.ordinal import (
 )
 
 
+def build_serving_forward(model):
+    """Pure serving function ``(params, uint8 NHWC images) -> outputs``:
+    on-device normalization + forward + derived predictions (softmax,
+    ordinal class probs/expected severity, uncertainty std, KAN severity).
+    Shared by ``InferenceEngine`` (jitted) and ``export.export_serving``
+    (AOT-lowered to StableHLO)."""
+    with_ordinal = getattr(model, "with_ordinal", True)
+    with_uncertainty = getattr(model, "with_uncertainty", True)
+
+    def forward(params, images_u8):
+        out = model.apply({"params": params}, eval_batch(images_u8),
+                          deterministic=True)
+        res = {
+            "cls_probs": jax.nn.softmax(out["cls_logits"], axis=-1),
+            "cls_pred": jnp.argmax(out["cls_logits"], axis=-1),
+            "kan_severity": out["kan_severity"][:, 0],
+        }
+        if with_ordinal:
+            res["ordinal_probs"] = cumulative_to_class_probs(
+                out["ordinal_logits"])
+            res["ordinal_severity"] = ordinal_expected_severity(
+                out["ordinal_logits"])[:, 0]
+        if with_uncertainty:
+            res["uncertainty_std"] = jnp.exp(0.5 * out["log_var"][:, 0])
+        return res
+
+    return forward
+
+
 class InferenceEngine:
     def __init__(self, model, params, batch_size: int = 64, mesh=None,
                  donate: bool = False):
@@ -43,28 +72,7 @@ class InferenceEngine:
             params = replicate(params, mesh)
         self.params = params
 
-        with_ordinal = getattr(model, "with_ordinal", True)
-        with_uncertainty = getattr(model, "with_uncertainty", True)
-
-        @jax.jit
-        def _forward(params, images_u8):
-            out = model.apply({"params": params}, eval_batch(images_u8),
-                              deterministic=True)
-            res = {
-                "cls_probs": jax.nn.softmax(out["cls_logits"], axis=-1),
-                "cls_pred": jnp.argmax(out["cls_logits"], axis=-1),
-                "kan_severity": out["kan_severity"][:, 0],
-            }
-            if with_ordinal:
-                res["ordinal_probs"] = cumulative_to_class_probs(
-                    out["ordinal_logits"])
-                res["ordinal_severity"] = ordinal_expected_severity(
-                    out["ordinal_logits"])[:, 0]
-            if with_uncertainty:
-                res["uncertainty_std"] = jnp.exp(0.5 * out["log_var"][:, 0])
-            return res
-
-        self._forward = _forward
+        self._forward = jax.jit(build_serving_forward(model))
 
     def warmup(self) -> None:
         """Compile the serving program ahead of traffic."""

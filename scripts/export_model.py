@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Export a trained checkpoint to a self-contained StableHLO serving
+artifact (weights baked in; loads with `rovit_kan_tpu.export.load_exported`
+and no model code). The TPU-native replacement for shipping the
+reference's pickled torch state_dict."""
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("checkpoint", type=Path,
+                   help="Orbax checkpoint dir (e.g. outputs/checkpoints/"
+                        "best_model)")
+    p.add_argument("out", type=Path, help="output artifact path (.stablehlo)")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--platforms", nargs="+", default=None,
+                   help="lowering platforms, e.g. tpu cpu (default: "
+                        "current backend)")
+    p.add_argument("--verify", action="store_true",
+                   help="reload the artifact and check outputs against the "
+                        "live model on random inputs")
+    args = p.parse_args()
+
+    import numpy as np
+    from rovit_kan_tpu.evaluation.evaluator import load_model_for_evaluation
+    from rovit_kan_tpu.export import save_exported, load_exported
+    from rovit_kan_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    model, params = load_model_for_evaluation(args.checkpoint)
+    n = save_exported(args.out, model, params, args.batch_size,
+                      args.platforms)
+    print(f"Exported {args.out} ({n / 1e6:.1f} MB, batch={args.batch_size}, "
+          f"image_size={model.image_size})")
+
+    if args.verify:
+        import jax
+        from rovit_kan_tpu.serving import build_serving_forward
+        rng = np.random.RandomState(0)
+        x = rng.randint(0, 256, (args.batch_size, model.image_size,
+                                 model.image_size, 3)).astype(np.uint8)
+        got = load_exported(args.out)(x)
+        want = jax.jit(build_serving_forward(model))(params, x)
+        for k in want:
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       np.asarray(want[k]),
+                                       rtol=1e-5, atol=1e-5)
+        print(f"Verified: {sorted(want.keys())} match the live model")
+
+
+if __name__ == "__main__":
+    main()

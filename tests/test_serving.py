@@ -67,3 +67,60 @@ def test_mesh_serving_matches_single_device():
     for k in single:
         np.testing.assert_allclose(meshed[k], single[k], atol=1e-5,
                                    err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# AOT export (rovit_kan_tpu/export.py): StableHLO serving artifacts
+# ---------------------------------------------------------------------------
+
+def _tiny_model_params():
+    model = RoViTKAN(embed_dim=32, depth=1, num_heads=2, image_size=32,
+                     patch_size=16, kan_layers=(32, 8, 1), hidden_dim=16,
+                     use_pallas_attention=False, use_pallas_kan=False)
+    params = model.init(jax.random.PRNGKey(0),
+                        np.zeros((1, 32, 32, 3), np.float32))["params"]
+    return model, params
+
+
+def test_export_roundtrip(tmp_path):
+    """Serialize -> reload from bytes on disk -> outputs equal the live
+    jitted serving function (weights baked into the artifact)."""
+    from rovit_kan_tpu.export import save_exported, load_exported
+    from rovit_kan_tpu.serving import build_serving_forward
+
+    model, params = _tiny_model_params()
+    path = tmp_path / "model.stablehlo"
+    n_bytes = save_exported(path, model, params, batch_size=4)
+    assert n_bytes == path.stat().st_size > 1000
+
+    x = _imgs(4, seed=3)
+    got = load_exported(path)(x)
+    want = jax.jit(build_serving_forward(model))(params, x)
+    assert sorted(got.keys()) == sorted(want.keys())
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_export_fixed_shape_contract(tmp_path):
+    """The artifact is fixed-shape: a wrong batch size must raise, not
+    silently recompile (that's the serving contract)."""
+    from rovit_kan_tpu.export import export_serving, load_serving
+
+    model, params = _tiny_model_params()
+    fn = load_serving(export_serving(model, params, batch_size=4))
+    with pytest.raises(Exception):
+        fn(_imgs(2))
+
+
+def test_exported_artifact_needs_no_model_code(tmp_path):
+    """Loading uses only jax.export.deserialize — no config, checkpoint,
+    or model class. (Guards against accidentally capturing host state.)"""
+    from rovit_kan_tpu.export import export_serving
+
+    model, params = _tiny_model_params()
+    blob = export_serving(model, params, batch_size=2)
+    exported = jax.export.deserialize(bytearray(blob))
+    out = exported.call(_imgs(2, seed=7))
+    assert np.asarray(out["cls_probs"]).shape == (2, 4)
+    assert np.all(np.isfinite(np.asarray(out["kan_severity"])))
