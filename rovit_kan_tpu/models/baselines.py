@@ -8,6 +8,11 @@ architectures are reimplemented from their published specs. ``BaselineModel``
 wraps any of them to emit the same output-dict contract as RoViTKAN with the
 non-classification fields zeroed (the reference emits None — see
 baselines.py:30-52 there), so the trainer/evaluator run unchanged.
+
+BatchNorm uses ``momentum=0.9`` (torch's default ``momentum=0.1`` means
+``running = 0.9*running + 0.1*batch``), not flax's 0.99 default: in short
+from-scratch runs the 0.99 decay leaves running stats near their init, so
+train-mode accuracy looks fine while eval-mode logits collapse to uniform.
 """
 from __future__ import annotations
 
@@ -31,24 +36,27 @@ class _Bottleneck(nn.Module):
         residual = x
         y = nn.Conv(self.features, (1, 1), use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32,
                          name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=(self.strides,) * 2,
                     padding=1, use_bias=False, dtype=self.dtype,
                     name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32,
                          name="bn2")(y)
         y = nn.relu(y)
         y = nn.Conv(self.features * self.expansion, (1, 1), use_bias=False,
                     dtype=self.dtype, name="conv3")(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32,
                          scale_init=nn.initializers.zeros, name="bn3")(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features * self.expansion, (1, 1),
                                strides=(self.strides,) * 2, use_bias=False,
                                dtype=self.dtype, name="downsample_conv")(x)
-            residual = nn.BatchNorm(use_running_average=not train,
+            residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                     dtype=jnp.float32,
                                     name="downsample_bn")(residual)
         return nn.relu(residual + y)
@@ -63,7 +71,8 @@ class ResNet50(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32,
                          name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -120,13 +129,14 @@ class _MBConv(nn.Module):
         if mid != inp:
             x = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
                         name="expand_conv")(x)
-            x = nn.BatchNorm(use_running_average=not train,
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              dtype=jnp.float32, name="expand_bn")(x)
             x = self.act(x)
         x = nn.Conv(mid, (self.kernel,) * 2, strides=(self.strides,) * 2,
                     padding=self.kernel // 2, feature_group_count=mid,
                     use_bias=False, dtype=self.dtype, name="dw_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32,
                          name="dw_bn")(x)
         x = self.act(x)
         if self.se_ratio > 0:
@@ -136,7 +146,8 @@ class _MBConv(nn.Module):
                                dtype=self.dtype, name="se")(x)
         x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
                     name="project_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32,
                          name="project_bn")(x)
         if self.strides == 1 and inp == self.features:
             x = x + residual
@@ -157,7 +168,8 @@ class EfficientNetB0(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Conv(32, (3, 3), strides=(2, 2), padding=1, use_bias=False,
                     dtype=self.dtype, name="stem_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32,
                          name="stem_bn")(x)
         x = nn.silu(x)
         bi = 0
@@ -170,7 +182,8 @@ class EfficientNetB0(nn.Module):
                 bi += 1
         x = nn.Conv(1280, (1, 1), use_bias=False, dtype=self.dtype,
                     name="head_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32,
                          name="head_bn")(x)
         x = nn.silu(x)
         return x.mean(axis=(1, 2))                       # (B, 1280)
@@ -202,7 +215,8 @@ class MobileNetV3Large(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Conv(16, (3, 3), strides=(2, 2), padding=1, use_bias=False,
                     dtype=self.dtype, name="stem_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32,
                          name="stem_bn")(x)
         x = _hswish(x)
         for i, (k, exp_size, feat, se, act_name, strides) in enumerate(
@@ -214,7 +228,8 @@ class MobileNetV3Large(nn.Module):
                         dtype=self.dtype, name=f"block{i}")(x, train)
         x = nn.Conv(960, (1, 1), use_bias=False, dtype=self.dtype,
                     name="head_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32,
                          name="head_bn")(x)
         x = _hswish(x)
         x = x.mean(axis=(1, 2))                          # (B, 960)

@@ -21,6 +21,8 @@ def main():
                    help="subset of: deit_tiny efficientnet_b0 "
                         "mobilenetv3_large resnet50")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--n-per-class", type=int, default=16,
+                   help="synthetic augmented images per class")
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--devices", type=int, default=-1)
     p.add_argument("--cpu", action="store_true")
@@ -47,11 +49,12 @@ def main():
     aug_root = args.data_root / "Augmented Image"
     orig_root = args.data_root / "Original Image"
     if args.synthetic:
-        generate_synthetic_dataset(aug_root, n_per_class=16,
+        generate_synthetic_dataset(aug_root, n_per_class=args.n_per_class,
                                    size=args.image_size,
                                    class_names=config.data.class_names,
                                    seed=args.seed)
-        generate_synthetic_dataset(orig_root, n_per_class=8,
+        generate_synthetic_dataset(orig_root,
+                                   n_per_class=max(args.n_per_class // 2, 2),
                                    size=args.image_size,
                                    class_names=config.data.class_names,
                                    seed=args.seed + 1)
