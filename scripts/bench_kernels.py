@@ -53,6 +53,9 @@ def bench_variant(use_pallas, bf16: bool, batch: int,
                                            config.model.num_heads)
         config.data.image_size = scale.get("image_size",
                                            config.data.image_size)
+        # KAN operates on the CLS feature vector: first layer = embed_dim.
+        config.model.kan_layers = ([config.model.embed_dim]
+                                   + list(config.model.kan_layers[1:]))
     size = config.data.image_size
     model = build_model(config,
                         dtype=jnp.bfloat16 if bf16 else jnp.float32)
