@@ -102,8 +102,86 @@ def _fused_attention_impl(q, k, v, interpret: bool):
     return out
 
 
+def _attention_bwd_kernel(q_ref, k_ref, v_ref, g_ref,
+                          dq_ref, dk_ref, dv_ref, *, n_valid: int):
+    """Whole-head attention backward: recompute P in VMEM, then the five
+    backward matmuls (dV = P^T g, dP = g V^T, dS = P(dP - rowsum(P dP)),
+    dQ = dS K, dK = dS^T Q) without ever spilling an (N, N) intermediate
+    to HBM. This is the piece the round-2 A/B showed missing: the fused
+    *forward* wins at >=512 tokens but training lost because the backward
+    was an XLA recompute with HBM round-trips for S/P."""
+    q = q_ref[0]                                      # (N_pad, d), input dtype
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0].astype(q.dtype)                      # cotangent is fp32
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (N_pad, N_pad) fp32
+    n_pad = s.shape[0]
+    if n_valid < n_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        s = jnp.where(col < n_valid, s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)        # fp32
+
+    p_lo = p.astype(q.dtype)
+    # dV = P^T g  — padded query rows have g = 0, contribute nothing.
+    dv_ref[0] = jax.lax.dot_general(
+        p_lo, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # dP = g V^T
+    dp = jax.lax.dot_general(
+        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # dS = P * (dP - rowsum(P * dP)); masked columns have P = 0 -> dS = 0.
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    ds_lo = ds.astype(q.dtype)
+    dq_ref[0] = jnp.dot(ds_lo, k, preferred_element_type=jnp.float32)
+    dk_ref[0] = jax.lax.dot_general(
+        ds_lo, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_attention_bwd_impl(q, k, v, g, interpret: bool):
+    B, h, N, d = q.shape
+    n_pad = _round_up(N, 128)
+
+    def prep(x):
+        x = x.reshape(B * h, N, d)
+        return jnp.pad(x, ((0, 0), (0, n_pad - N), (0, 0)))
+
+    q2, k2, v2, g2 = prep(q), prep(k), prep(v), prep(g)
+    spec = pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    kernel = functools.partial(_attention_bwd_kernel, n_valid=N)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(B * h,),
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec, spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((B * h, n_pad, d), jnp.float32)
+            for _ in range(3)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 5 * (B * h) * n_pad * n_pad * d,
+            bytes_accessed=(B * h) * n_pad * d
+            * (3 * q.dtype.itemsize + 4 * 4),
+            transcendentals=(B * h) * n_pad * n_pad,
+        ),
+    )(q2, k2, v2, g2)
+
+    def post(x, dt):
+        return x[:, :N, :].reshape(B, h, N, d).astype(dt)
+
+    return post(dq, q.dtype), post(dk, k.dtype), post(dv, v.dtype)
+
+
 def _attention_xla(q, k, v):
-    """Pure-XLA reference path (also used to derive the backward pass)."""
+    """Pure-XLA reference path (fallback backward + golden tests)."""
     s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
                    k.astype(jnp.float32), preferred_element_type=jnp.float32)
     p = jax.nn.softmax(s, axis=-1)
@@ -115,9 +193,10 @@ def _attention_xla(q, k, v):
 def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Softmax attention ``softmax(q k^T) v`` with q pre-scaled.
 
-    Forward runs the fused Pallas kernel; the backward pass differentiates
-    the equivalent XLA formulation (recompute-based — at N=197 the recompute
-    is cheaper than materializing attention probabilities to HBM).
+    Forward and backward both run fused Pallas kernels: attention
+    probabilities are recomputed in VMEM during the backward (cheaper than
+    materializing the (N, N) matrix to HBM at any sequence length this
+    model sees), and all five backward matmuls stay VMEM-resident.
 
     Args:
         q, k, v: ``(B, heads, N, head_dim)``; q already multiplied by
@@ -136,8 +215,8 @@ def _fused_attention_fwd(q, k, v):
 
 def _fused_attention_bwd(res, g):
     q, k, v = res
-    _, vjp = jax.vjp(_attention_xla, q, k, v)
-    return vjp(g)
+    interpret = jax.default_backend() != "tpu"
+    return _fused_attention_bwd_impl(q, k, v, g, interpret)
 
 
 fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
