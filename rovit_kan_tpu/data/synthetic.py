@@ -22,7 +22,8 @@ def make_leaf_image(class_idx: int, rng: np.random.RandomState,
                     size: int = 224) -> np.ndarray:
     """One synthetic leaf image (H, W, 3) uint8 for class ``class_idx``."""
     img = np.zeros((size, size, 3), dtype=np.float32)
-    img[..., :] = rng.uniform(10, 40, 3)                       # soil bg
+    bg_color = rng.uniform(10, 40, 3).astype(np.float32)       # soil bg
+    img[..., :] = bg_color
 
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
     cy, cx = size / 2 + rng.uniform(-8, 8), size / 2 + rng.uniform(-8, 8)
@@ -45,12 +46,21 @@ def make_leaf_image(class_idx: int, rng: np.random.RandomState,
         my = rng.uniform(cy - ry * 0.7, cy + ry * 0.7)
         mx = rng.uniform(cx - rx * 0.7, cx + rx * 0.7)
         mr = rng.uniform(size * 0.02, size * 0.06)
-        mark = ((yy - my) ** 2 + (xx - mx) ** 2) <= mr ** 2
-        mark &= leaf
-        if class_idx == 1:      # Leaf Holes: punch through to background
-            img[mark] = rng.uniform(10, 40, 3)
-        elif class_idx == 2:    # Black Spot
-            img[mark] = rng.uniform(0, 30, 3)
+        d2 = (yy - my) ** 2 + (xx - mx) ** 2
+        mark = (d2 <= mr ** 2) & leaf
+        ring = (d2 <= (mr * 1.6) ** 2) & ~(d2 <= mr ** 2) & leaf
+        if class_idx == 1:      # Leaf Holes: punch through to the ACTUAL
+            # background (real holes show the soil behind the leaf), with a
+            # thin brown necrotic rim typical of chewing-insect damage.
+            img[ring] = np.array([100, 70, 30], np.float32) \
+                + rng.randn(int(ring.sum()), 3) * 6
+            img[mark] = bg_color + rng.randn(int(mark.sum()), 3) * 3
+        elif class_idx == 2:    # Black Spot: near-black fungal lesion with
+            # the disease's signature yellow chlorotic halo.
+            img[ring] = np.array([165, 160, 45], np.float32) \
+                + rng.randn(int(ring.sum()), 3) * 8
+            img[mark] = rng.uniform(0, 18) \
+                + rng.randn(int(mark.sum()), 3) * 3
         elif class_idx == 3:    # Dry Leaf: brown patches
             img[mark] = np.array([rng.uniform(120, 160),
                                   rng.uniform(80, 110),
