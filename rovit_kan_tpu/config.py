@@ -129,12 +129,15 @@ class TPUConfig:
     # Data-parallel axis size; -1 = all visible devices.
     data_parallel: int = -1
     mesh_axis_name: str = "data"
-    # Hand-written Pallas kernels are OFF by default: measured on a real
-    # TPU v5e (scripts/bench_kernels.py, docs/VALIDATION.md "Pallas vs XLA"),
-    # XLA's fused path beats them at this model size — fwd 4.8ms vs 6.9ms,
-    # train-step 15.6ms vs 44.0ms at bs=64/224px bf16. The kernels remain
-    # available (correctness-tested, custom_vjp) for larger configurations.
-    use_pallas_attention: bool = False
+    # Attention kernel policy, from the measured TPU v5e crossover
+    # (scripts/bench_kernels.py A/B, docs/VALIDATION.md "Pallas vs XLA"):
+    # XLA wins training at every sequence length tried (fused-backward
+    # Pallas: 576 vs 906 img/s at 577 tokens) and inference at 197 tokens,
+    # while the fused Pallas forward wins inference at >=~512 tokens
+    # (3,500 vs 2,946 img/s at 577). "auto" (default) applies exactly that
+    # table: Pallas iff building for inference AND the token count is >=512
+    # AND the backend is TPU. True/False force one implementation.
+    use_pallas_attention: "bool | str" = "auto"
     use_pallas_kan: bool = False
     donate_state: bool = True
     # Rematerialize backbone blocks on backward (activation memory ~ O(1)

@@ -257,5 +257,5 @@ def load_model_for_evaluation(checkpoint_path, config: Optional[Config] = None,
         config = Config.from_dict(ck["config"])
     elif config is None:
         raise ValueError("checkpoint has no embedded config; pass one")
-    model = build_model(config, **model_kwargs)
+    model = build_model(config, **{"inference": True, **model_kwargs})
     return model, ck["params"]

@@ -125,14 +125,32 @@ class RoViTKAN(nn.Module):
         }
 
 
+def _resolve_pallas_attention(setting, *, image_size: int, patch_size: int,
+                              inference: bool) -> bool:
+    """Tri-state kernel policy -> concrete bool.
+
+    ``"auto"`` encodes the measured TPU v5e crossover (docs/VALIDATION.md
+    "Pallas vs XLA"): the fused Pallas forward only beats XLA for
+    *inference* at >=~512 tokens; XLA wins training at every length tried.
+    """
+    if setting == "auto":
+        n_tokens = (image_size // patch_size) ** 2 + 1
+        return (bool(inference) and n_tokens >= 512
+                and jax.default_backend() == "tpu")
+    return bool(setting)
+
+
 def build_model(config: Config, *, with_ordinal: Optional[bool] = None,
                 with_uncertainty: Optional[bool] = None,
                 with_kan: Optional[bool] = None,
-                dtype: Optional[Any] = None) -> RoViTKAN:
+                dtype: Optional[Any] = None,
+                inference: bool = False) -> RoViTKAN:
     """Construct RoViTKAN from a Config (reference models/rovit_kan.py:10-38
     accepts a Config the same way). Head toggles default to the config's
     ``model.with_*`` fields (persisted in checkpoints), so ablation-variant
-    checkpoints rebuild their exact architecture."""
+    checkpoints rebuild their exact architecture. ``inference=True`` feeds
+    the "auto" attention-kernel policy (forward-only deployments may pick
+    the Pallas kernel where it measured faster)."""
     m = config.model
     if with_ordinal is None:
         with_ordinal = getattr(m, "with_ordinal", True)
@@ -151,7 +169,10 @@ def build_model(config: Config, *, with_ordinal: Optional[bool] = None,
         kan_degree=m.kan_degree,
         with_ordinal=with_ordinal, with_uncertainty=with_uncertainty,
         with_kan=with_kan, dtype=dtype,
-        use_pallas_attention=config.tpu.use_pallas_attention,
+        use_pallas_attention=_resolve_pallas_attention(
+            config.tpu.use_pallas_attention,
+            image_size=config.data.image_size, patch_size=m.patch_size,
+            inference=inference),
         use_pallas_kan=config.tpu.use_pallas_kan,
         remat=config.tpu.remat_backbone,
     )

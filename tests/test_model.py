@@ -153,3 +153,39 @@ def test_three_class_model_end_to_end():
     np.testing.assert_allclose(np.asarray(p["ordinal_probs"]).sum(-1), 1.0,
                                atol=1e-5)
     assert p["cls_probs"].shape == (4, 3)
+
+
+def test_auto_pallas_attention_policy(monkeypatch):
+    """"auto" applies the measured v5e crossover: Pallas only for inference
+    at >=512 tokens on TPU; training and short sequences stay XLA."""
+    from rovit_kan_tpu.models.rovit_kan import _resolve_pallas_attention
+
+    # Explicit bools pass through untouched.
+    assert _resolve_pallas_attention(True, image_size=224, patch_size=16,
+                                     inference=False) is True
+    assert _resolve_pallas_attention(False, image_size=384, patch_size=16,
+                                     inference=True) is False
+
+    # Off-TPU (this test runs on CPU): auto is always False.
+    assert _resolve_pallas_attention("auto", image_size=384, patch_size=16,
+                                     inference=True) is False
+
+    # Pretend we're on TPU: only inference at >=512 tokens flips on.
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    kw = dict(patch_size=16)
+    assert _resolve_pallas_attention("auto", image_size=384, inference=True,
+                                     **kw) is True      # 577 tokens
+    assert _resolve_pallas_attention("auto", image_size=384, inference=False,
+                                     **kw) is False     # training
+    assert _resolve_pallas_attention("auto", image_size=224, inference=True,
+                                     **kw) is False     # 197 tokens
+
+
+def test_build_model_auto_policy_defaults_to_xla_for_training():
+    from rovit_kan_tpu.config import get_config
+    from rovit_kan_tpu.models.rovit_kan import build_model
+
+    cfg = get_config()
+    assert cfg.tpu.use_pallas_attention == "auto"
+    model = build_model(cfg)                     # training build, CPU
+    assert model.use_pallas_attention is False
