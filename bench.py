@@ -141,7 +141,11 @@ def main() -> None:
     # ---- train-step throughput -----------------------------------------
     tx = build_optimizer(config)
     train_step, _ = make_train_step(model, tx, config)
+    # The compiled step donates its state argument; keep live copies for
+    # the large-batch sections below (donation deletes the originals).
+    params_big = jax.tree.map(jnp.copy, params)
     opt_state = set_hyperparams(tx.init(params), 5e-4, 0.1)
+    opt_state_big = jax.tree.map(jnp.copy, opt_state)
     state = TrainState(params=params, opt_state=opt_state,
                        rng=jax.random.PRNGKey(1),
                        step=jnp.zeros((), jnp.int32))
@@ -192,15 +196,15 @@ def main() -> None:
     # batch bigger, so also record the bs=256 numbers.
     BIG = 256
     xb = jax.random.normal(key, (BIG, 224, 224, 3), jnp.float32)
-    acc = fwd_acc(params, xb, jnp.zeros((), jnp.float32))
+    acc = fwd_acc(params_big, xb, jnp.zeros((), jnp.float32))
     float(acc)
     for _ in range(3):
-        acc = fwd_acc(params, xb, acc)
+        acc = fwd_acc(params_big, xb, acc)
     float(acc)
     acc = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
     for _ in range(30):
-        acc = fwd_acc(params, xb, acc)
+        acc = fwd_acc(params_big, xb, acc)
     assert np.isfinite(float(acc))
     fwd_ips_big = BIG * 30 / (time.perf_counter() - t0)
 
@@ -211,7 +215,7 @@ def main() -> None:
         "severity": jnp.asarray(
             rng.randint(0, 4, (BIG,)).astype(np.float32)),
     }
-    state_b = TrainState(params=params, opt_state=opt_state,
+    state_b = TrainState(params=params_big, opt_state=opt_state_big,
                          rng=jax.random.PRNGKey(2),
                          step=jnp.zeros((), jnp.int32))
     state_b, metrics = train_step(state_b, batch_big, stage, live, mix)
