@@ -53,6 +53,11 @@ class TrainConfig:
     # Gradient accumulation: effective batch = batch_size * accum_steps
     # (optax.MultiSteps; params update every accum_steps micro-batches).
     accum_steps: int = 1
+    # Exponential moving average of params for evaluation/serving
+    # (ema = d*ema + (1-d)*params after each step). 0 disables (reference
+    # parity — the reference has no EMA). When on, validation, the best
+    # checkpoint, and downstream evaluation all use the EMA weights.
+    ema_decay: float = 0.0
     use_curriculum: bool = True
     seeds: List[int] = field(default_factory=lambda: [42, 123, 999])
     stage_1_epochs: int = 10

@@ -258,4 +258,8 @@ def load_model_for_evaluation(checkpoint_path, config: Optional[Config] = None,
     elif config is None:
         raise ValueError("checkpoint has no embedded config; pass one")
     model = build_model(config, **{"inference": True, **model_kwargs})
-    return model, ck["params"]
+    # EMA checkpoints: the trainer validated (and picked "best") with the
+    # EMA weights, so evaluation/serving must use them too.
+    params = ck["ema_params"] if ck.get("ema_params") is not None \
+        else ck["params"]
+    return model, params

@@ -108,8 +108,13 @@ def shard_state(state: Any, mesh: Mesh, specs: Any = None) -> Any:
     opt_state = _shard_opt_state(state.opt_state, state.params, mesh,
                                  spec_tree)
     rest = replicate({"rng": state.rng, "step": state.step}, mesh)
-    return state.replace(params=params, opt_state=opt_state,
-                         rng=rest["rng"], step=rest["step"])
+    out = state.replace(params=params, opt_state=opt_state,
+                        rng=rest["rng"], step=rest["step"])
+    # EMA params mirror the param tree -> same shardings.
+    if getattr(state, "ema_params", None) is not None:
+        out = out.replace(
+            ema_params=shard_params(state.ema_params, mesh, specs))
+    return out
 
 
 def _shard_opt_state(opt_state, params, mesh: Mesh, spec_tree):

@@ -48,6 +48,10 @@ class TrainState:
     opt_state: Any
     rng: jax.Array
     step: jnp.ndarray
+    # EMA of params (config.train.ema_decay > 0); None when disabled — an
+    # empty pytree node, so every tree_map/donation/checkpoint path is
+    # structurally unchanged for the default config.
+    ema_params: Any = None
 
 
 def make_train_step(model, tx, config: Config,
@@ -63,6 +67,7 @@ def make_train_step(model, tx, config: Config,
     fl = config.flags
     alpha = jnp.asarray(focal_alpha) if focal_alpha is not None else None
     head_mask = model.head_mask
+    ema_decay = getattr(config.train, "ema_decay", 0.0)
 
     def step_fn(state: TrainState, batch, stage, backbone_live, use_mix):
         rng, k_aug, k_mix, k_drop = jax.random.split(state.rng, 4)
@@ -100,8 +105,14 @@ def make_train_step(model, tx, config: Config,
                        .astype(jnp.float32))
         metrics = dict(losses)
         metrics["accuracy"] = acc
+        if ema_decay > 0:                        # static: no retrace cost
+            ema = jax.tree.map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                state.ema_params, params)
+        else:
+            ema = state.ema_params
         new_state = TrainState(params=params, opt_state=opt_state, rng=rng,
-                               step=state.step + 1)
+                               step=state.step + 1, ema_params=ema)
         return new_state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,)), step_fn
@@ -221,9 +232,18 @@ class Trainer:
             k_init, rng = jax.random.split(rng)
             params = self._init_params(k_init)
         opt_state = self.tx.init(params)
+        ema = (jax.tree.map(jnp.copy, params)
+               if self.config.train.ema_decay > 0 else None)
         state = TrainState(params=params, opt_state=opt_state, rng=rng,
-                           step=jnp.zeros((), jnp.int32))
+                           step=jnp.zeros((), jnp.int32), ema_params=ema)
         return self._place_state(state)
+
+    @staticmethod
+    def eval_params(state: TrainState):
+        """The weights validation/checkpointing should see: the EMA tree
+        when EMA is on, the live params otherwise."""
+        return (state.ema_params if state.ema_params is not None
+                else state.params)
 
     def _place_state(self, state: TrainState) -> TrainState:
         if self.param_specs is not None:
@@ -339,7 +359,7 @@ class Trainer:
         n_batches = 0
         for batch in self.val_loader:
             batch = shard_batch(batch, self.mesh)
-            m = self.eval_step(state.params, batch)
+            m = self.eval_step(self.eval_params(state), batch)
             n_batches += 1
             correct += float(m["correct"])
             total += float(m["n"])
@@ -379,8 +399,8 @@ class Trainer:
 
         idx, valid = self.val_loader.eval_index_plan()
         images, labels, severity = self.val_loader.arrays
-        m = self._scanned_val(state.params, images, labels, severity,
-                              jnp.asarray(idx), jnp.asarray(valid))
+        m = self._scanned_val(self.eval_params(state), images, labels,
+                              severity, jnp.asarray(idx), jnp.asarray(valid))
         return {k: float(v) for k, v in m.items()}
 
     def resume(self, name: str = "best_model"):
@@ -397,19 +417,25 @@ class Trainer:
         rng = jax.random.PRNGKey(self.seed)
         k_init, rng = jax.random.split(rng)
         params_t = self._init_params(k_init)
+        ema_on = self.config.train.ema_decay > 0
         target = {"params": params_t, "opt_state": self.tx.init(params_t)}
+        if ema_on:
+            target["ema_params"] = params_t
         try:
             ck = load_checkpoint(self._ckpt_dir() / name, target=target)
             params, opt_state = ck["params"], ck["opt_state"]
+            ema = ck.get("ema_params") if ema_on else None
         except Exception:
             # Checkpoint without an opt_state (or different optimizer
             # config): restore params only, optimizer starts fresh.
             ck = load_checkpoint(self._ckpt_dir() / name)
             params = jax.tree.map(jnp.asarray, ck["params"])
             opt_state = self.tx.init(params)
+            # EMA resumed from a non-EMA checkpoint seeds from params.
+            ema = jax.tree.map(jnp.copy, params) if ema_on else None
         self.best_val_loss = ck.get("best_val_loss", float("inf"))
         state = TrainState(params=params, opt_state=opt_state, rng=rng,
-                           step=jnp.zeros((), jnp.int32))
+                           step=jnp.zeros((), jnp.int32), ema_params=ema)
         return self._place_state(state), ck.get("epoch", 0) + 1
 
     def fit(self, state: Optional[TrainState] = None,
@@ -482,7 +508,7 @@ class Trainer:
         save_checkpoint(self._ckpt_dir() / name, state.params,
                         opt_state=state.opt_state, epoch=epoch,
                         best_val_loss=self.best_val_loss, metrics=metrics,
-                        config=self.config)
+                        config=self.config, ema_params=state.ema_params)
 
     def load_checkpoint(self, name: str = "best_model"):
         from rovit_kan_tpu.utils.checkpoint import load_checkpoint

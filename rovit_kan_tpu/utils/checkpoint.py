@@ -33,13 +33,17 @@ def _to_jsonable(x):
 def save_checkpoint(path, params: Any, opt_state: Any = None,
                     epoch: int = 0, best_val_loss: float = float("inf"),
                     metrics: Optional[Dict] = None,
-                    config: Any = None) -> None:
-    """Save params (+ optional opt state) and a JSON metadata sidecar."""
+                    config: Any = None, ema_params: Any = None) -> None:
+    """Save params (+ optional opt state / EMA params) and a JSON metadata
+    sidecar. ``ema_params``, when present, are what evaluation should use
+    (the trainer validated with them)."""
     path = Path(path).absolute()
     ckptr = ocp.StandardCheckpointer()
     tree = {"params": params}
     if opt_state is not None:
         tree["opt_state"] = opt_state
+    if ema_params is not None:
+        tree["ema_params"] = ema_params
     if path.exists():
         import shutil
         shutil.rmtree(path)

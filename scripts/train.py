@@ -29,6 +29,9 @@ def main():
                         "scale)")
     p.add_argument("--patience", type=int, default=None,
                    help="override config.train.early_stop_patience")
+    p.add_argument("--ema_decay", type=float, default=None,
+                   help="EMA of params for eval/checkpoint (e.g. 0.999); "
+                        "0/absent = off (reference parity)")
     p.add_argument("--fast", action="store_true",
                    help="tiny model + 2 epochs (smoke test)")
     p.add_argument("--devices", type=int, default=-1,
@@ -127,6 +130,8 @@ def main():
     orig_root = args.data_root / "Original Image"
     if args.patience is not None:
         config.train.early_stop_patience = args.patience
+    if args.ema_decay is not None:
+        config.train.ema_decay = args.ema_decay
     if args.synthetic:
         n = args.synthetic_per_class or (8 if args.fast else 64)
         generate_synthetic_dataset(aug_root, n_per_class=n,

@@ -243,3 +243,56 @@ def test_resume_with_grad_accumulation(tmp_path):
     cfg.train.epochs = next_epoch
     out = tr2.fit(state, start_epoch=next_epoch)
     assert np.isfinite(out["history"]["train"][0]["total_loss"])
+
+
+def test_ema_params_track_and_evaluate(tmp_path):
+    """With ema_decay on: the EMA tree lags the live params, validation +
+    the best checkpoint use it, and the evaluator loader prefers it."""
+    cfg = _cfg(tmp_path)
+    cfg.train.epochs = 2
+    cfg.train.ema_decay = 0.5
+    batches = _batches()
+    tr = Trainer(_model(), _FakeLoader(batches), _FakeLoader(batches),
+                 cfg, mesh=make_mesh(1), seed=0)
+    state = tr.init_state()
+    p0 = jax.tree.map(np.asarray, state.params)
+    assert state.ema_params is not None
+    res = tr.fit(state)
+    final = res["state"]
+
+    # EMA != live params, and EMA stayed closer to the init than live did
+    # (it is a trailing average seeded at p0).
+    leaf = lambda t: np.asarray(
+        jax.tree_util.tree_leaves(t)[0], np.float32)
+    l0, l_live, l_ema = leaf(p0), leaf(final.params), leaf(final.ema_params)
+    assert not np.allclose(l_live, l_ema)
+    assert np.abs(l_ema - l0).mean() < np.abs(l_live - l0).mean()
+
+    # eval_params selects the EMA tree.
+    np.testing.assert_array_equal(leaf(Trainer.eval_params(final)), l_ema)
+
+    # The checkpoint carries ema_params and the evaluator loads them.
+    from rovit_kan_tpu.evaluation.evaluator import load_model_for_evaluation
+    _, loaded = load_model_for_evaluation(
+        cfg.paths.checkpoints_dir / "best_model", cfg)
+    saved_ema = tr.load_checkpoint()["ema_params"]
+    np.testing.assert_array_equal(leaf(loaded), leaf(saved_ema))
+
+    # Resume restores the EMA tree.
+    tr2 = Trainer(_model(), _FakeLoader(batches), _FakeLoader(batches),
+                  cfg, mesh=make_mesh(1), seed=0)
+    state2, _ = tr2.resume()
+    assert state2.ema_params is not None
+
+
+def test_ema_off_is_structurally_inert(tmp_path):
+    """Default config: ema_params stays None end-to-end and checkpoints
+    have no ema entry."""
+    cfg = _cfg(tmp_path)
+    cfg.train.epochs = 1
+    batches = _batches()
+    tr = Trainer(_model(), _FakeLoader(batches), _FakeLoader(batches),
+                 cfg, mesh=make_mesh(1), seed=0)
+    res = tr.fit()
+    assert res["state"].ema_params is None
+    assert "ema_params" not in tr.load_checkpoint()
