@@ -153,7 +153,7 @@ def main() -> None:
     rng = np.random.RandomState(0)
     batch = {
         "images": jnp.asarray(
-            rng.randint(0, 256, (BATCH, 224, 224, 3)), jnp.uint8),
+            rng.randint(0, 256, (BATCH, 224, 224, 3), dtype=np.uint8)),
         "labels": jnp.asarray(rng.randint(0, 4, (BATCH,)), jnp.int32),
         "severity": jnp.asarray(
             rng.randint(0, 4, (BATCH,)).astype(np.float32)),
@@ -210,7 +210,7 @@ def main() -> None:
 
     batch_big = {
         "images": jnp.asarray(
-            rng.randint(0, 256, (BIG, 224, 224, 3)), jnp.uint8),
+            rng.randint(0, 256, (BIG, 224, 224, 3), dtype=np.uint8)),
         "labels": jnp.asarray(rng.randint(0, 4, (BIG,)), jnp.int32),
         "severity": jnp.asarray(
             rng.randint(0, 4, (BIG,)).astype(np.float32)),

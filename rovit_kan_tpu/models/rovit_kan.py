@@ -126,16 +126,20 @@ class RoViTKAN(nn.Module):
 
 
 def _resolve_pallas_attention(setting, *, image_size: int, patch_size: int,
-                              inference: bool) -> bool:
+                              inference: bool,
+                              dtype: Any = jnp.bfloat16) -> bool:
     """Tri-state kernel policy -> concrete bool.
 
     ``"auto"`` encodes the measured TPU v5e crossover (docs/VALIDATION.md
     "Pallas vs XLA"): the fused Pallas forward only beats XLA for
-    *inference* at >=~512 tokens; XLA wins training at every length tried.
+    *inference* at >=~512 tokens — measured in bf16, so fp32 builds
+    (unmeasured, 2x the VMEM per whole-head tile) stay on XLA too; XLA
+    wins training at every length tried.
     """
     if setting == "auto":
         n_tokens = (image_size // patch_size) ** 2 + 1
         return (bool(inference) and n_tokens >= 512
+                and dtype == jnp.bfloat16
                 and jax.default_backend() == "tpu")
     return bool(setting)
 
@@ -172,7 +176,7 @@ def build_model(config: Config, *, with_ordinal: Optional[bool] = None,
         use_pallas_attention=_resolve_pallas_attention(
             config.tpu.use_pallas_attention,
             image_size=config.data.image_size, patch_size=m.patch_size,
-            inference=inference),
+            inference=inference, dtype=dtype),
         use_pallas_kan=config.tpu.use_pallas_kan,
         remat=config.tpu.remat_backbone,
     )

@@ -106,8 +106,16 @@ def make_train_step(model, tx, config: Config,
         metrics = dict(losses)
         metrics["accuracy"] = acc
         if ema_decay > 0:                        # static: no retrace cost
+            # Under gradient accumulation params only move every
+            # accum_steps-th call (optax.MultiSteps); updating the EMA on
+            # no-op micro-steps would compress the effective horizon to
+            # ema_decay**accum_steps. state.step counts update calls, so
+            # the apply boundary is every accum-th call.
+            accum = getattr(config.train, "accum_steps", 1)
+            applied = ((state.step + 1) % accum == 0) if accum > 1 else True
+            d = jnp.where(applied, ema_decay, 1.0)
             ema = jax.tree.map(
-                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                lambda e, p: d * e + (1.0 - d) * p.astype(e.dtype),
                 state.ema_params, params)
         else:
             ema = state.ema_params
@@ -418,16 +426,35 @@ class Trainer:
         k_init, rng = jax.random.split(rng)
         params_t = self._init_params(k_init)
         ema_on = self.config.train.ema_decay > 0
-        target = {"params": params_t, "opt_state": self.tx.init(params_t)}
+        opt_t = self.tx.init(params_t)
+        # Try targets in order: as-configured, then with the EMA entry
+        # toggled (a checkpoint written under a different ema_decay setting
+        # still restores its optimizer moments — only the EMA tree is
+        # seeded/dropped), then params-only as the last resort.
+        targets = [{"params": params_t, "opt_state": opt_t},
+                   {"params": params_t, "opt_state": opt_t,
+                    "ema_params": params_t}]
         if ema_on:
-            target["ema_params"] = params_t
-        try:
-            ck = load_checkpoint(self._ckpt_dir() / name, target=target)
+            targets.reverse()
+        ck = None
+        for target in targets:
+            try:
+                ck = load_checkpoint(self._ckpt_dir() / name, target=target)
+                break
+            except Exception:
+                continue
+        if ck is not None:
             params, opt_state = ck["params"], ck["opt_state"]
             ema = ck.get("ema_params") if ema_on else None
-        except Exception:
+            if ema_on and ema is None:
+                print("resume: checkpoint has no EMA tree; seeding EMA "
+                      "from the restored params")
+                ema = jax.tree.map(jnp.copy, params)
+        else:
             # Checkpoint without an opt_state (or different optimizer
             # config): restore params only, optimizer starts fresh.
+            print("resume: optimizer state structure mismatch; restoring "
+                  "params only (fresh optimizer)")
             ck = load_checkpoint(self._ckpt_dir() / name)
             params = jax.tree.map(jnp.asarray, ck["params"])
             opt_state = self.tx.init(params)

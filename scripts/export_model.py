@@ -31,7 +31,12 @@ def main():
     from rovit_kan_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    model, params = load_model_for_evaluation(args.checkpoint)
+    # inference=False: jax.export cannot serialize tpu_custom_call (no
+    # compatibility guarantee) and cannot lower pallas_call for non-TPU
+    # --platforms, so the export always takes the XLA attention path even
+    # where the "auto" policy would pick the Pallas kernel for live serving.
+    model, params = load_model_for_evaluation(args.checkpoint,
+                                              inference=False)
     n = save_exported(args.out, model, params, args.batch_size,
                       args.platforms)
     print(f"Exported {args.out} ({n / 1e6:.1f} MB, batch={args.batch_size}, "

@@ -166,11 +166,13 @@ def test_auto_pallas_attention_policy(monkeypatch):
     assert _resolve_pallas_attention(False, image_size=384, patch_size=16,
                                      inference=True) is False
 
-    # Off-TPU (this test runs on CPU): auto is always False.
+    # Off-TPU: auto is always False (pin the backend — this suite may run
+    # on a real TPU host).
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     assert _resolve_pallas_attention("auto", image_size=384, patch_size=16,
                                      inference=True) is False
 
-    # Pretend we're on TPU: only inference at >=512 tokens flips on.
+    # On TPU: only bf16 inference at >=512 tokens flips on.
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     kw = dict(patch_size=16)
     assert _resolve_pallas_attention("auto", image_size=384, inference=True,
@@ -179,6 +181,9 @@ def test_auto_pallas_attention_policy(monkeypatch):
                                      **kw) is False     # training
     assert _resolve_pallas_attention("auto", image_size=224, inference=True,
                                      **kw) is False     # 197 tokens
+    assert _resolve_pallas_attention("auto", image_size=384, inference=True,
+                                     dtype=jnp.float32,
+                                     **kw) is False     # unmeasured fp32
 
 
 def test_build_model_auto_policy_defaults_to_xla_for_training():

@@ -296,3 +296,70 @@ def test_ema_off_is_structurally_inert(tmp_path):
     res = tr.fit()
     assert res["state"].ema_params is None
     assert "ema_params" not in tr.load_checkpoint()
+
+
+def test_ema_resume_across_flag_mismatch(tmp_path):
+    """A checkpoint written without EMA resumes under an EMA config with
+    its optimizer moments intact (EMA seeded from params), and vice versa."""
+    cfg = _cfg(tmp_path)
+    cfg.train.epochs = 1
+    batches = _batches()
+    tr = Trainer(_model(), _FakeLoader(batches), _FakeLoader(batches),
+                 cfg, mesh=make_mesh(1), seed=0)
+    tr.fit()                                     # non-EMA checkpoint
+
+    cfg_ema = _cfg(tmp_path)
+    cfg_ema.train.ema_decay = 0.9
+    tr2 = Trainer(_model(), _FakeLoader(batches), _FakeLoader(batches),
+                  cfg_ema, mesh=make_mesh(1), seed=0)
+    state2, _ = tr2.resume()
+    assert state2.ema_params is not None         # seeded from params
+    # Adam moments survived (a fresh init would be all-zero).
+    moments = [np.asarray(x) for x in
+               jax.tree_util.tree_leaves(state2.opt_state)
+               if hasattr(x, "shape") and np.asarray(x).size > 1]
+    assert any(np.abs(m).sum() > 0 for m in moments)
+
+    # EMA checkpoint -> non-EMA config: params + moments restore, EMA off.
+    tr3 = Trainer(_model(), _FakeLoader(batches), _FakeLoader(batches),
+                  cfg_ema, mesh=make_mesh(1), seed=0)
+    st = tr3.init_state()
+    tr3.save_checkpoint(st, 1, {})
+    tr4 = Trainer(_model(), _FakeLoader(batches), _FakeLoader(batches),
+                  _cfg(tmp_path), mesh=make_mesh(1), seed=0)
+    state4, _ = tr4.resume()
+    assert state4.ema_params is None
+
+
+def test_ema_freezes_on_accumulation_microsteps(tmp_path):
+    """With accum_steps=2 the EMA only moves on the micro-steps where
+    MultiSteps actually applies an update."""
+    from rovit_kan_tpu.training.trainer import TrainState, make_train_step
+    from rovit_kan_tpu.training.optimizer import (build_optimizer,
+                                                  set_hyperparams)
+
+    cfg = _cfg(tmp_path)
+    cfg.train.accum_steps = 2
+    cfg.train.ema_decay = 0.5
+    model = _model()
+    tx = build_optimizer(cfg)
+    step, _ = make_train_step(model, tx, cfg)
+    b = _batches(1)[0]; b.pop("valid")
+    b = {k: jnp.asarray(v) for k, v in b.items()}
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 32, 3)))["params"]
+    state = TrainState(params=params,
+                       opt_state=set_hyperparams(tx.init(params), 1e-3, 0.1),
+                       rng=jax.random.PRNGKey(1),
+                       step=jnp.zeros((), jnp.int32),
+                       ema_params=jax.tree.map(jnp.copy, params))
+    leaf = lambda t: np.asarray(jax.tree_util.tree_leaves(t)[0])
+    e0 = leaf(state.ema_params).copy()
+    state, _ = step(state, b, jnp.int32(1), jnp.float32(1.0),
+                    jnp.float32(0.0))
+    # Micro-step 1 of 2: no apply -> EMA unchanged.
+    np.testing.assert_array_equal(leaf(state.ema_params), e0)
+    state, _ = step(state, b, jnp.int32(1), jnp.float32(1.0),
+                    jnp.float32(0.0))
+    # Micro-step 2: update applied -> EMA moved.
+    assert not np.array_equal(leaf(state.ema_params), e0)
