@@ -242,13 +242,19 @@ class Evaluator:
 
 
 def load_model_for_evaluation(checkpoint_path, config: Optional[Config] = None,
+                              image_size: Optional[int] = None,
                               **model_kwargs):
     """Rebuild the model and restore params from an Orbax checkpoint
     (reference evaluator.py:229-253 rebuilds with pretrained=False and loads
     ``model_state_dict``). The model architecture comes from the config
     stored *inside* the checkpoint when present (the reference pickles its
     config into checkpoints, trainer.py:319); the ``config`` argument is the
-    fallback. Returns ``(model, params)``."""
+    fallback. ``image_size`` serves/evaluates at a different resolution
+    than the checkpoint was trained at: the learned position embedding is
+    bicubically interpolated to the new patch grid (the standard ViT
+    resolution-transfer recipe; everything else is resolution-agnostic).
+    Returns ``(model, params)``."""
+    import numpy as np
     from rovit_kan_tpu.models.rovit_kan import build_model
     from rovit_kan_tpu.utils.checkpoint import load_checkpoint
 
@@ -257,9 +263,17 @@ def load_model_for_evaluation(checkpoint_path, config: Optional[Config] = None,
         config = Config.from_dict(ck["config"])
     elif config is None:
         raise ValueError("checkpoint has no embedded config; pass one")
-    model = build_model(config, **{"inference": True, **model_kwargs})
     # EMA checkpoints: the trainer validated (and picked "best") with the
     # EMA weights, so evaluation/serving must use them too.
     params = ck["ema_params"] if ck.get("ema_params") is not None \
         else ck["params"]
+    if image_size is not None and image_size != config.data.image_size:
+        from rovit_kan_tpu.models.convert import interpolate_pos_embed
+        config.data.image_size = image_size
+        n_tokens = (image_size // config.model.patch_size) ** 2 + 1
+        params = dict(params)
+        params["backbone"] = dict(params["backbone"])
+        params["backbone"]["pos_embed"] = interpolate_pos_embed(
+            np.asarray(params["backbone"]["pos_embed"]), n_tokens)
+    model = build_model(config, **{"inference": True, **model_kwargs})
     return model, params

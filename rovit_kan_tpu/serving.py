@@ -132,9 +132,12 @@ class InferenceEngine:
 
 
 def load_engine(checkpoint_path, batch_size: int = 64, mesh=None,
-                config=None) -> InferenceEngine:
+                config=None, image_size: int = None) -> InferenceEngine:
     """Checkpoint -> ready-to-serve engine (compiles on first predict or
-    explicit warmup)."""
+    explicit warmup). ``image_size`` serves at a different resolution than
+    trained (pos-embed interpolation; at >=512 tokens in bf16 on TPU the
+    "auto" policy picks the fused Pallas attention forward)."""
     from rovit_kan_tpu.evaluation.evaluator import load_model_for_evaluation
-    model, params = load_model_for_evaluation(checkpoint_path, config)
+    model, params = load_model_for_evaluation(checkpoint_path, config,
+                                              image_size=image_size)
     return InferenceEngine(model, params, batch_size=batch_size, mesh=mesh)

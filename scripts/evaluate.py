@@ -15,7 +15,10 @@ def main():
     p.add_argument("--data_root", type=Path, default=Path("data"))
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--output_dir", type=Path, default=Path("outputs/eval"))
-    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--image_size", type=int, default=None,
+                   help="evaluate at a different resolution than trained "
+                        "(pos-embed interpolation); default: the "
+                        "checkpoint's native size")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--matmul_precision", default=None,
                    choices=["bfloat16", "tensorfloat32", "float32"],
@@ -40,11 +43,12 @@ def main():
         Evaluator, load_model_for_evaluation)
 
     config = get_config()
-    config.data.image_size = args.image_size
 
     # Model architecture (incl. its native image size) comes from the config
-    # embedded in the checkpoint when present.
-    model, params = load_model_for_evaluation(args.checkpoint, config)
+    # embedded in the checkpoint when present; --image_size overrides via
+    # pos-embed resolution transfer.
+    model, params = load_model_for_evaluation(args.checkpoint, config,
+                                              image_size=args.image_size)
     size = model.image_size
     config.data.image_size = size
 

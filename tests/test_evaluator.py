@@ -80,3 +80,35 @@ def test_severity_fallback_artifact(setup):
     assert r["severity_is_fallback"]
     assert r["mae"] == pytest.approx(0.0)
     assert r["spearman_rho"] == pytest.approx(1.0)
+
+
+def test_load_at_different_resolution(setup, tmp_path):
+    """image_size override: pos-embed bicubically transferred to the new
+    grid; the rebuilt model runs at the new resolution."""
+    import jax.numpy as jnp
+    from rovit_kan_tpu.utils.checkpoint import save_checkpoint
+    from rovit_kan_tpu.evaluation.evaluator import load_model_for_evaluation
+
+    cfg, model, params, _, _ = setup
+    cfg2 = _tiny_cfg(tmp_path)
+    cfg2.model.embed_dim = 32
+    cfg2.model.depth = 1
+    cfg2.model.num_heads = 2
+    cfg2.model.kan_layers = [32, 8, 1]
+    cfg2.model.hidden_dim = 16
+    save_checkpoint(tmp_path / "ck", params, config=cfg2)
+
+    m64, p64 = load_model_for_evaluation(tmp_path / "ck", image_size=64)
+    assert m64.image_size == 64
+    # 32px/16 -> 2x2 grid (5 tokens); 64px -> 4x4 grid (17 tokens).
+    assert p64["backbone"]["pos_embed"].shape == (1, 17, 32)
+    out = m64.apply({"params": p64},
+                    jnp.zeros((2, 64, 64, 3), jnp.float32),
+                    deterministic=True)
+    assert out["cls_logits"].shape == (2, 4)
+
+    # Native load unchanged.
+    m32, p32 = load_model_for_evaluation(tmp_path / "ck")
+    assert m32.image_size == 32
+    np.testing.assert_array_equal(p32["backbone"]["pos_embed"],
+                                  np.asarray(params["backbone"]["pos_embed"]))
