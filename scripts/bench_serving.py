@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Serving-engine throughput A/B: the "auto" attention policy vs forced
+XLA, at the checkpoint's native and a transferred resolution.
+
+This measures the policy where it actually ships — the InferenceEngine a
+user loads with ``load_engine`` — rather than a bare kernel microbench.
+The expected result (docs/VALIDATION.md "Pallas vs XLA"): identical
+engines at 224px/197 tokens (auto resolves to XLA), and the fused Pallas
+forward's win appearing at 384px/577 tokens in bf16 on TPU.
+
+Usage:
+    python scripts/bench_serving.py CHECKPOINT [--image_size 384]
+        [--batch_size 32] [--iters 30]
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _measure(engine, images, iters):
+    import numpy as np
+    engine.warmup()
+    engine.predict(images)                       # shape-specific compile
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(iters):
+        out = engine.predict(images)
+        acc += float(np.asarray(out["cls_probs"]).sum())   # host fetch
+    dt = time.perf_counter() - t0
+    assert acc == acc                            # finite
+    return images.shape[0] * iters / dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("checkpoint", type=Path)
+    p.add_argument("--image_size", type=int, default=384)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    import numpy as np
+    from rovit_kan_tpu.utils.compilation_cache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
+
+    import jax
+    from rovit_kan_tpu.config import Config
+    from rovit_kan_tpu.utils.checkpoint import load_checkpoint
+    from rovit_kan_tpu.models.rovit_kan import build_model
+    from rovit_kan_tpu.models.convert import interpolate_pos_embed
+    from rovit_kan_tpu.serving import InferenceEngine
+
+    ck = load_checkpoint(args.checkpoint)
+    base_cfg = Config.from_dict(ck["config"])
+    params = ck["ema_params"] if ck.get("ema_params") is not None \
+        else ck["params"]
+
+    rng = np.random.RandomState(0)
+    rows = []
+    for size in (base_cfg.data.image_size, args.image_size):
+        imgs = rng.randint(0, 256,
+                           (args.batch_size, size, size, 3), dtype=np.uint8)
+        for policy in ("auto", False):
+            cfg = Config.from_dict(ck["config"])
+            cfg.data.image_size = size
+            cfg.tpu.use_pallas_attention = policy
+            p_sized = params
+            if size != base_cfg.data.image_size:
+                n_tokens = (size // cfg.model.patch_size) ** 2 + 1
+                p_sized = dict(params)
+                p_sized["backbone"] = dict(params["backbone"])
+                p_sized["backbone"]["pos_embed"] = interpolate_pos_embed(
+                    np.asarray(params["backbone"]["pos_embed"]), n_tokens)
+            model = build_model(cfg, inference=True)
+            ips = _measure(InferenceEngine(model, p_sized,
+                                           batch_size=args.batch_size),
+                           imgs, args.iters)
+            row = {"image_size": size, "policy": str(policy),
+                   "resolved_pallas": bool(model.use_pallas_attention),
+                   "images_per_sec": round(ips, 1)}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+    result = {"device": str(jax.devices()[0].device_kind),
+              "batch_size": args.batch_size, "rows": rows}
+    if args.out:
+        Path(args.out).write_text(json.dumps(result, indent=2))
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
