@@ -72,7 +72,39 @@ class InferenceEngine:
             params = replicate(params, mesh)
         self.params = params
 
-        self._forward = jax.jit(build_serving_forward(model))
+        # Transfer coalescing: the named outputs are all (B,) or (B, K)
+        # — fetching them as six separate device->host transfers makes
+        # small-batch serving latency-bound (each fetch pays a full
+        # round-trip). Pack everything into ONE (B, sum K) fp32 array on
+        # device and split host-side. The layout is derived from an
+        # abstract eval, so it stays in lockstep with the head set.
+        named = build_serving_forward(model)
+        size = model.image_size
+        shapes = jax.eval_shape(
+            named, params,
+            jax.ShapeDtypeStruct((batch_size, size, size, 3), jnp.uint8))
+        self._layout = [(k, 1 if len(s.shape) == 1 else s.shape[1],
+                         s.dtype, len(s.shape))
+                        for k, s in sorted(shapes.items())]
+
+        def packed(params, images_u8):
+            res = named(params, images_u8)
+            return jnp.concatenate(
+                [(res[k][:, None] if nd == 1 else res[k])
+                 .astype(jnp.float32)
+                 for k, _, _, nd in self._layout], axis=1)
+
+        self._forward = jax.jit(packed)
+
+    def _unpack(self, flat: np.ndarray) -> Dict[str, np.ndarray]:
+        out, off = {}, 0
+        for k, width, dtype, ndim in self._layout:
+            col = flat[:, off:off + width]
+            if ndim == 1:
+                col = col[:, 0]
+            out[k] = col.astype(dtype)
+            off += width
+        return out
 
     def warmup(self) -> None:
         """Compile the serving program ahead of traffic."""
@@ -101,8 +133,7 @@ class InferenceEngine:
             pad = np.zeros((self.batch_size - n, *images_u8.shape[1:]),
                            images_u8.dtype)
             images_u8 = np.concatenate([images_u8, pad])
-        out = self._run(images_u8)
-        out = {k: np.asarray(v)[:n] for k, v in out.items()}
+        out = self._unpack(np.asarray(self._run(images_u8))[:n])
         self._latencies.append(time.perf_counter() - t0)
         self._request_sizes.append(n)
         return out
