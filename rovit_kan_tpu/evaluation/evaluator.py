@@ -251,10 +251,10 @@ def load_model_for_evaluation(checkpoint_path, config: Optional[Config] = None,
     config into checkpoints, trainer.py:319); the ``config`` argument is the
     fallback. ``image_size`` serves/evaluates at a different resolution
     than the checkpoint was trained at: the learned position embedding is
-    bicubically interpolated to the new patch grid (the standard ViT
+    bilinearly resampled to the new patch grid (the standard ViT
     resolution-transfer recipe; everything else is resolution-agnostic).
     Returns ``(model, params)``."""
-    import numpy as np
+    import copy
     from rovit_kan_tpu.models.rovit_kan import build_model
     from rovit_kan_tpu.utils.checkpoint import load_checkpoint
 
@@ -268,12 +268,10 @@ def load_model_for_evaluation(checkpoint_path, config: Optional[Config] = None,
     params = ck["ema_params"] if ck.get("ema_params") is not None \
         else ck["params"]
     if image_size is not None and image_size != config.data.image_size:
-        from rovit_kan_tpu.models.convert import interpolate_pos_embed
+        from rovit_kan_tpu.models.convert import transfer_resolution
+        config = copy.deepcopy(config)     # never mutate a caller's config
         config.data.image_size = image_size
-        n_tokens = (image_size // config.model.patch_size) ** 2 + 1
-        params = dict(params)
-        params["backbone"] = dict(params["backbone"])
-        params["backbone"]["pos_embed"] = interpolate_pos_embed(
-            np.asarray(params["backbone"]["pos_embed"]), n_tokens)
+        params = transfer_resolution(params, image_size,
+                                     config.model.patch_size)
     model = build_model(config, **{"inference": True, **model_kwargs})
     return model, params

@@ -191,6 +191,21 @@ def interpolate_pos_embed(pos_embed: np.ndarray,
     return np.concatenate([cls_pos, resized.reshape(1, gd * gd, d)], axis=1)
 
 
+def transfer_resolution(params: Dict, image_size: int,
+                        patch_size: int) -> Dict:
+    """Return a copy of a RoViTKAN param tree with the backbone's position
+    embedding bilinearly resampled for ``image_size`` (copy-on-write of the
+    two touched dict levels; the input tree is untouched). The single
+    load-time recipe behind ``load_model_for_evaluation(image_size=...)``
+    and the serving benchmarks."""
+    n_tokens = (image_size // patch_size) ** 2 + 1
+    out = dict(params)
+    out["backbone"] = dict(params["backbone"])
+    out["backbone"]["pos_embed"] = interpolate_pos_embed(
+        np.asarray(params["backbone"]["pos_embed"]), n_tokens)
+    return out
+
+
 def merge_pretrained(params: Dict, pretrained: Dict, verbose: bool = True) -> Dict:
     """Overlay converted pretrained weights onto a freshly-initialized param
     tree (the reference's ``pretrained=True`` path,

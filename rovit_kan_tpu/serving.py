@@ -59,8 +59,7 @@ def build_serving_forward(model):
 
 
 class InferenceEngine:
-    def __init__(self, model, params, batch_size: int = 64, mesh=None,
-                 donate: bool = False):
+    def __init__(self, model, params, batch_size: int = 64, mesh=None):
         self.model = model
         self.batch_size = batch_size
         self.mesh = mesh

@@ -31,7 +31,8 @@ def _measure(engine, images, iters):
         out = engine.predict(images)
         acc += float(np.asarray(out["cls_probs"]).sum())   # host fetch
     dt = time.perf_counter() - t0
-    assert acc == acc                            # finite
+    if not np.isfinite(acc):
+        raise ValueError(f"non-finite checksum {acc}: engine output broken")
     return images.shape[0] * iters / dt
 
 
@@ -53,7 +54,7 @@ def main():
     from rovit_kan_tpu.config import Config
     from rovit_kan_tpu.utils.checkpoint import load_checkpoint
     from rovit_kan_tpu.models.rovit_kan import build_model
-    from rovit_kan_tpu.models.convert import interpolate_pos_embed
+    from rovit_kan_tpu.models.convert import transfer_resolution
     from rovit_kan_tpu.serving import InferenceEngine
 
     ck = load_checkpoint(args.checkpoint)
@@ -63,7 +64,7 @@ def main():
 
     rng = np.random.RandomState(0)
     rows = []
-    for size in (base_cfg.data.image_size, args.image_size):
+    for size in dict.fromkeys((base_cfg.data.image_size, args.image_size)):
         imgs = rng.randint(0, 256,
                            (args.batch_size, size, size, 3), dtype=np.uint8)
         for policy in ("auto", False):
@@ -72,11 +73,8 @@ def main():
             cfg.tpu.use_pallas_attention = policy
             p_sized = params
             if size != base_cfg.data.image_size:
-                n_tokens = (size // cfg.model.patch_size) ** 2 + 1
-                p_sized = dict(params)
-                p_sized["backbone"] = dict(params["backbone"])
-                p_sized["backbone"]["pos_embed"] = interpolate_pos_embed(
-                    np.asarray(params["backbone"]["pos_embed"]), n_tokens)
+                p_sized = transfer_resolution(params, size,
+                                              cfg.model.patch_size)
             model = build_model(cfg, inference=True)
             ips = _measure(InferenceEngine(model, p_sized,
                                            batch_size=args.batch_size),

@@ -83,7 +83,7 @@ def test_severity_fallback_artifact(setup):
 
 
 def test_load_at_different_resolution(setup, tmp_path):
-    """image_size override: pos-embed bicubically transferred to the new
+    """image_size override: pos-embed bilinearly transferred to the new
     grid; the rebuilt model runs at the new resolution."""
     import jax.numpy as jnp
     from rovit_kan_tpu.utils.checkpoint import save_checkpoint
