@@ -37,26 +37,44 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, n_valid: int):
     # Inputs stay in their storage dtype (bf16 under mixed precision): the
     # MXU's fast path is low-precision operands with fp32 accumulation via
     # preferred_element_type — upcasting operands first would force full
-    # fp32 matmuls.
-    q = q_ref[0]                                      # (N_pad, d)
-    k = k_ref[0]
-    v = v_ref[0]
-    n_pad = q.shape[0]
+    # fp32 matmuls. The block may carry G heads (heads_per_program); the
+    # unrolled loop amortizes per-program dispatch/DMA overhead, which is
+    # what dominates at short sequence lengths.
+    for g in range(q_ref.shape[0]):
+        q = q_ref[g]                                  # (N_pad, d)
+        k = k_ref[g]
+        v = v_ref[g]
+        n_pad = q.shape[0]
 
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (N_pad, N_pad) fp32
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (N_pad, N_pad) fp32
 
-    if n_valid < n_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-        s = jnp.where(col < n_valid, s, -1e30)
+        if n_valid < n_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+            s = jnp.where(col < n_valid, s, -1e30)
 
-    # Softmax statistics in fp32 regardless of input dtype.
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    o_ref[0] = jnp.dot(p.astype(v.dtype), v,
-                       preferred_element_type=jnp.float32)
+        # Softmax statistics in fp32 regardless of input dtype.
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o_ref[g] = jnp.dot(p.astype(v.dtype), v,
+                           preferred_element_type=jnp.float32)
+
+
+def _heads_per_program(n_pad: int, d: int, itemsize: int) -> int:
+    """Largest power-of-two G whose VMEM working set (3 G input tiles, one
+    G fp32 output tile, one (N, N) fp32 score matrix live at a time)
+    stays well under the ~16 MB/core budget. At 197 tokens this packs 4-8
+    heads per program, amortizing the dispatch/DMA overhead that makes
+    one-head programs DMA-bound; at 577+ tokens it degrades to 1 (the
+    score matrix already fills VMEM)."""
+    budget = 10 * 1024 * 1024
+    score = n_pad * n_pad * 4 * 2          # s + one temp live
+    g = 8
+    while g > 1 and score + g * n_pad * d * (3 * itemsize + 4) > budget:
+        g //= 2
+    return g
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -68,6 +86,9 @@ def _fused_attention_impl(q, k, v, interpret: bool):
     # jnp.pad to 128 would DOUBLE the HBM bytes moved for q/k/v and the
     # output, plus the VMEM footprint per program. (Verified: padding d was
     # the round-1 design; this halves kernel HBM traffic at equal FLOPs.)
+    G = _heads_per_program(n_pad, d, q.dtype.itemsize)
+    while (B * h) % G:
+        G //= 2
 
     def prep(x):
         x = x.reshape(B * h, N, d)
@@ -76,19 +97,13 @@ def _fused_attention_impl(q, k, v, interpret: bool):
     q2, k2, v2 = prep(q), prep(k), prep(v)
 
     kernel = functools.partial(_attention_kernel, n_valid=N)
+    spec = pl.BlockSpec((G, n_pad, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(B * h,),
-        in_specs=[
-            pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        grid=(B * h // G,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B * h, n_pad, d), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
