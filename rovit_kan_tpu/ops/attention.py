@@ -65,10 +65,10 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, n_valid: int):
 def _heads_per_program(n_pad: int, d: int, itemsize: int) -> int:
     """Largest power-of-two G whose VMEM working set (3 G input tiles, one
     G fp32 output tile, one (N, N) fp32 score matrix live at a time)
-    stays well under the ~16 MB/core budget. At 197 tokens this packs 4-8
-    heads per program, amortizing the dispatch/DMA overhead that makes
-    one-head programs DMA-bound; at 577+ tokens it degrades to 1 (the
-    score matrix already fills VMEM)."""
+    stays well under the ~16 MB/core budget. Measured values with d=64
+    bf16: G=8 at both 197 tokens (n_pad=256, ~3.6 MB working set) and 577
+    tokens (n_pad=640, ~6.5 MB); the formula only degrades below 8 past
+    ~1000 tokens, where the (N, N) fp32 score temps dominate."""
     budget = 10 * 1024 * 1024
     score = n_pad * n_pad * 4 * 2          # s + one temp live
     g = 8
@@ -122,41 +122,56 @@ def _attention_bwd_kernel(q_ref, k_ref, v_ref, g_ref,
     """Whole-head attention backward: recompute P in VMEM, then the five
     backward matmuls (dV = P^T g, dP = g V^T, dS = P(dP - rowsum(P dP)),
     dQ = dS K, dK = dS^T Q) without ever spilling an (N, N) intermediate
-    to HBM. This is the piece the round-2 A/B showed missing: the fused
-    *forward* wins at >=512 tokens but training lost because the backward
-    was an XLA recompute with HBM round-trips for S/P."""
-    q = q_ref[0]                                      # (N_pad, d), input dtype
-    k = k_ref[0]
-    v = v_ref[0]
-    g = g_ref[0].astype(q.dtype)                      # cotangent is fp32
+    to HBM. Like the forward, the block carries G heads (see
+    _bwd_heads_per_program) — the round-2 one-head-per-program version was
+    dispatch/DMA-bound at 197 tokens and lost to XLA everywhere."""
+    for gi in range(q_ref.shape[0]):
+        q = q_ref[gi]                                 # (N_pad, d), input dtype
+        k = k_ref[gi]
+        v = v_ref[gi]
+        g = g_ref[gi].astype(q.dtype)                 # cotangent is fp32
 
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (N_pad, N_pad) fp32
-    n_pad = s.shape[0]
-    if n_valid < n_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-        s = jnp.where(col < n_valid, s, -1e30)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)        # fp32
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (N_pad, N_pad) fp32
+        n_pad = s.shape[0]
+        if n_valid < n_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+            s = jnp.where(col < n_valid, s, -1e30)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)    # fp32
 
-    p_lo = p.astype(q.dtype)
-    # dV = P^T g  — padded query rows have g = 0, contribute nothing.
-    dv_ref[0] = jax.lax.dot_general(
-        p_lo, g, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    # dP = g V^T
-    dp = jax.lax.dot_general(
-        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    # dS = P * (dP - rowsum(P * dP)); masked columns have P = 0 -> dS = 0.
-    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
-    ds_lo = ds.astype(q.dtype)
-    dq_ref[0] = jnp.dot(ds_lo, k, preferred_element_type=jnp.float32)
-    dk_ref[0] = jax.lax.dot_general(
-        ds_lo, q, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        p_lo = p.astype(q.dtype)
+        # dV = P^T g  — padded query rows have g = 0, contribute nothing.
+        dv_ref[gi] = jax.lax.dot_general(
+            p_lo, g, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # dP = g V^T
+        dp = jax.lax.dot_general(
+            g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # dS = P * (dP - rowsum(P * dP)); masked columns: P = 0 -> dS = 0.
+        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+        ds_lo = ds.astype(q.dtype)
+        dq_ref[gi] = jnp.dot(ds_lo, k, preferred_element_type=jnp.float32)
+        dk_ref[gi] = jax.lax.dot_general(
+            ds_lo, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _bwd_heads_per_program(n_pad: int, d: int, itemsize: int) -> int:
+    """Largest power-of-two G for the backward block. Working set per
+    program: ~3 live (N, N) fp32 temps (P, dP, dS) plus G tiles of q/k/v
+    (input dtype), g (fp32 cotangent) and three fp32 output tiles. With
+    d=64 bf16 this gives G=8 at n_pad=256 (~3.7 MB) and G=4 at n_pad=640
+    (~8.5 MB)."""
+    budget = 10 * 1024 * 1024
+    score = n_pad * n_pad * 4 * 3
+    g = 8
+    while g > 1 and score + g * n_pad * d * (3 * itemsize + 4 + 12) > budget:
+        g //= 2
+    return g
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -169,12 +184,15 @@ def _fused_attention_bwd_impl(q, k, v, g, interpret: bool):
         return jnp.pad(x, ((0, 0), (0, n_pad - N), (0, 0)))
 
     q2, k2, v2, g2 = prep(q), prep(k), prep(v), prep(g)
-    spec = pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+    G = _bwd_heads_per_program(n_pad, d, q.dtype.itemsize)
+    while (B * h) % G:
+        G //= 2
+    spec = pl.BlockSpec((G, n_pad, d), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     kernel = functools.partial(_attention_bwd_kernel, n_valid=N)
     dq, dk, dv = pl.pallas_call(
         kernel,
-        grid=(B * h,),
+        grid=(B * h // G,),
         in_specs=[spec] * 4,
         out_specs=(spec, spec, spec),
         out_shape=tuple(

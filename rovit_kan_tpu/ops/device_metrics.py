@@ -58,16 +58,22 @@ def macro_f1_from_cm(cm: jnp.ndarray) -> jnp.ndarray:
 def _average_ranks(x: jnp.ndarray) -> jnp.ndarray:
     """Fractional (average-tie) ranks, 1-based — rankdata('average').
 
-    Rank via double argsort, then averaged within tie groups using an
-    equality-matrix formulation (O(n^2) memory, fine at eval sizes; no
-    host sync, no sorting-network tricks needed).
+    Sort, assign tie-group ids from sorted-neighbour equality, segment-sum
+    ordinal ranks per group, then scatter the per-group averages back to the
+    original order. O(n log n) time, O(n) memory — scales to 20k+ point
+    evals where an equality-matrix formulation would need n^2 floats.
     """
     n = x.shape[0]
     order = jnp.argsort(x, stable=True)
-    ordinal = jnp.empty_like(order).at[order].set(jnp.arange(1, n + 1))
-    # For ties: average ordinal rank over equal values.
-    eq = (x[:, None] == x[None, :]).astype(jnp.float32)
-    return (eq @ ordinal.astype(jnp.float32)) / eq.sum(axis=1)
+    xs = x[order]
+    new_group = jnp.concatenate(
+        [jnp.ones((1,), bool), xs[1:] != xs[:-1]])
+    gid = jnp.cumsum(new_group) - 1
+    pos = jnp.arange(1, n + 1, dtype=jnp.float32)
+    sums = jnp.zeros((n,), jnp.float32).at[gid].add(pos)
+    cnts = jnp.zeros((n,), jnp.float32).at[gid].add(1.0)
+    avg = sums / jnp.maximum(cnts, 1.0)
+    return jnp.empty((n,), jnp.float32).at[order].set(avg[gid])
 
 
 def spearman_rho(a: jnp.ndarray, b: jnp.ndarray,

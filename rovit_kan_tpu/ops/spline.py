@@ -70,6 +70,57 @@ def bspline_basis_list(x: jnp.ndarray, knots: np.ndarray, degree: int = 3):
     return basis
 
 
+def bspline_basis_and_deriv_list(x: jnp.ndarray, knots: np.ndarray,
+                                 degree: int = 3):
+    """Basis values AND d/dx derivatives in one trace-time-unrolled pass.
+
+    Forward-mode (value, tangent) pairs carried through the exact same
+    truncated Cox-de Boor recursion as ``bspline_basis_list``, so the
+    derivatives agree with JAX autodiff of that function everywhere except
+    the measure-zero knot boundaries. Consumed by the hand-written Pallas
+    KAN backward kernels (ops/kan_kernel.py), which cannot call jax.vjp.
+
+    Returns:
+        (basis, dbasis): two lists of ``num_basis`` arrays shaped like x.
+    """
+    knots = np.asarray(knots, dtype=np.float32)
+    num_knots = knots.shape[0]
+    num_basis = num_knots - degree - 1
+
+    # Matches jnp.clip's VJP: unit gradient inside the knot range
+    # (inclusive), zero outside.
+    in_range = jnp.logical_and(x >= knots[0], x <= knots[-1]).astype(x.dtype)
+    x = jnp.clip(x, knots[0], knots[-1])
+
+    basis = [
+        jnp.logical_and(x >= knots[i], x < knots[i + 1]).astype(x.dtype)
+        for i in range(num_basis)
+    ]
+    dbasis = [jnp.zeros_like(x) for _ in range(num_basis)]
+
+    for d in range(1, degree + 1):
+        nb, ndb = [], []
+        for i in range(num_basis):
+            term = jnp.zeros_like(x)
+            dterm = jnp.zeros_like(x)
+            if knots[i + d] != knots[i]:
+                denom = float(knots[i + d] - knots[i])
+                left = (x - knots[i]) / denom
+                term = term + left * basis[i]
+                dterm = dterm + basis[i] / denom + left * dbasis[i]
+            if i + d + 1 < num_knots and knots[i + d + 1] != knots[i + 1]:
+                if i + 1 < num_basis:
+                    denom = float(knots[i + d + 1] - knots[i + 1])
+                    right = (knots[i + d + 1] - x) / denom
+                    term = term + right * basis[i + 1]
+                    dterm = dterm - basis[i + 1] / denom + right * dbasis[i + 1]
+            nb.append(term)
+            ndb.append(dterm)
+        basis, dbasis = nb, ndb
+
+    return basis, [db * in_range for db in dbasis]
+
+
 def bspline_basis(x: jnp.ndarray, knots: np.ndarray, degree: int = 3) -> jnp.ndarray:
     """Evaluate all B-spline basis functions at ``x``.
 
