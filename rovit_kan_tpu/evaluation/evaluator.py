@@ -41,30 +41,58 @@ class Evaluator:
         self.output_dir = Path(output_dir or config.paths.results_dir)
         self.class_names = list(class_names or config.data.class_names)
 
+        # Confidence temperature (evaluation/calibration.py): 1.0 = raw.
+        # A traced scalar argument, so changing T never recompiles.
+        self.temperature = 1.0
+
         @jax.jit
-        def _forward(params, images_u8):
+        def _forward_t(params, images_u8, temp):
             out = model.apply({"params": params}, eval_batch(images_u8),
                               deterministic=True)
+            logits = out["cls_logits"].astype(jnp.float32)
             return {
-                "cls_probs": jax.nn.softmax(out["cls_logits"], axis=-1),
+                "cls_logits": logits,
+                "cls_probs": jax.nn.softmax(logits / temp, axis=-1),
                 "kan_severity": out["kan_severity"][:, 0],
                 "uncertainty_std": jnp.exp(0.5 * out["log_var"][:, 0]),
             }
 
-        self._forward = _forward
+        self._forward_t = _forward_t
+        self._forward = lambda params, images: _forward_t(
+            params, images, jnp.float32(self.temperature))
+
+    def fit_temperature(self, val_loader) -> float:
+        """Fit temperature scaling on a *validation* loader (never the test
+        set) and arm it for subsequent evaluate() calls. Returns T."""
+        from rovit_kan_tpu.evaluation.calibration import fit_temperature
+
+        logits, labels = [], []
+        for batch in val_loader:
+            out = self._forward_t(self.params, batch["images"],
+                                  jnp.float32(1.0))
+            valid = np.asarray(batch["valid"]).astype(bool) \
+                if "valid" in batch else np.ones(len(batch["labels"]), bool)
+            logits.append(np.asarray(out["cls_logits"])[valid])
+            labels.append(np.asarray(batch["labels"])[valid])
+        self.temperature = fit_temperature(np.concatenate(logits),
+                                           np.concatenate(labels))
+        return self.temperature
 
     def _collect(self) -> Dict[str, np.ndarray]:
-        probs, labels, severities, sev_pred, unc = [], [], [], [], []
+        probs, logits, labels, severities, sev_pred, unc = \
+            [], [], [], [], [], []
         for batch in self.test_loader:
             out = self._forward(self.params, batch["images"])
             valid = batch["valid"].astype(bool)
             probs.append(np.asarray(out["cls_probs"])[valid])
+            logits.append(np.asarray(out["cls_logits"])[valid])
             sev_pred.append(np.asarray(out["kan_severity"])[valid])
             unc.append(np.asarray(out["uncertainty_std"])[valid])
             labels.append(batch["labels"][valid])
             severities.append(batch["severity"][valid])
         return {
             "probs": np.concatenate(probs),
+            "logits": np.concatenate(logits),
             "labels": np.concatenate(labels),
             "severity_true": np.concatenate(severities),
             "severity_pred": np.concatenate(sev_pred),
@@ -130,6 +158,14 @@ class Evaluator:
         # Alias kept for drop-in compatibility with the reference's recorded
         # test_metrics.json files (both keys appear there).
         results["spearman"] = results["spearman_rho"]
+        results["temperature"] = float(self.temperature)
+        if self.temperature != 1.0:
+            # Probs above already carry T; record the raw-confidence ECE/
+            # Brier beside them so the calibration delta is visible.
+            from rovit_kan_tpu.evaluation.calibration import apply_temperature
+            raw = apply_temperature(d["logits"], 1.0)
+            results["ece_precalibration"] = M.ece(raw, d["labels"])
+            results["brier_precalibration"] = M.brier_score(raw, d["labels"])
         if run_fps:
             results["fps"] = self._fps()
 
@@ -225,6 +261,39 @@ class Evaluator:
                         dpi=120)
         plt.close(fig)
 
+        # Reliability diagram: per-bin accuracy vs confidence against the
+        # y=x perfect-calibration diagonal, annotated with ECE (and the
+        # pre-calibration ECE when temperature scaling is armed).
+        from rovit_kan_tpu.evaluation.calibration import reliability_curve
+        rc = reliability_curve(d["probs"], d["labels"])
+        centers = (rc["edges"][:-1] + rc["edges"][1:]) / 2
+        width = rc["edges"][1] - rc["edges"][0]
+        fig, ax = plt.subplots(figsize=(6, 5))
+        filled = ~np.isnan(rc["accuracy"])
+        ax.bar(centers[filled], rc["accuracy"][filled], width=width * 0.92,
+               alpha=0.75, edgecolor="black", linewidth=0.5,
+               label="accuracy")
+        ax.bar(centers[filled], (rc["confidence"] - rc["accuracy"])[filled],
+               bottom=rc["accuracy"][filled], width=width * 0.92,
+               alpha=0.35, color="red", edgecolor="red", linewidth=0.5,
+               label="gap")
+        ax.plot([0, 1], [0, 1], "k--", alpha=0.6)
+        title = f"Reliability diagram (ECE {r['ece']:.4f}"
+        if "ece_precalibration" in r:
+            title += (f", pre-calibration {r['ece_precalibration']:.4f}, "
+                      f"T={r['temperature']:.3f}")
+        ax.set_title(title + ")")
+        ax.set_xlabel("Confidence")
+        ax.set_ylabel("Accuracy")
+        ax.set_xlim(0, 1)
+        ax.set_ylim(0, 1)
+        ax.legend(loc="upper left")
+        fig.tight_layout()
+        for ext in ("png", "pdf"):
+            fig.savefig(self.output_dir / f"reliability_diagram.{ext}",
+                        dpi=120)
+        plt.close(fig)
+
         fig, ax = plt.subplots(figsize=(6, 4))
         jitter = np.random.RandomState(0).uniform(
             -0.08, 0.08, d["severity_true"].shape)
@@ -243,6 +312,7 @@ class Evaluator:
 
 def load_model_for_evaluation(checkpoint_path, config: Optional[Config] = None,
                               image_size: Optional[int] = None,
+                              use_ema: bool = True,
                               **model_kwargs):
     """Rebuild the model and restore params from an Orbax checkpoint
     (reference evaluator.py:229-253 rebuilds with pretrained=False and loads
@@ -264,9 +334,11 @@ def load_model_for_evaluation(checkpoint_path, config: Optional[Config] = None,
     elif config is None:
         raise ValueError("checkpoint has no embedded config; pass one")
     # EMA checkpoints: the trainer validated (and picked "best") with the
-    # EMA weights, so evaluation/serving must use them too.
-    params = ck["ema_params"] if ck.get("ema_params") is not None \
-        else ck["params"]
+    # EMA weights, so evaluation/serving defaults to them; ``use_ema=False``
+    # loads the raw trained params instead (EMA-vs-raw ablations, debugging
+    # a divergence between the two trees).
+    params = ck["ema_params"] if use_ema \
+        and ck.get("ema_params") is not None else ck["params"]
     if image_size is not None and image_size != config.data.image_size:
         from rovit_kan_tpu.models.convert import transfer_resolution
         config = copy.deepcopy(config)     # never mutate a caller's config

@@ -109,10 +109,13 @@ def make_train_step(model, tx, config: Config,
             # Under gradient accumulation params only move every
             # accum_steps-th call (optax.MultiSteps); updating the EMA on
             # no-op micro-steps would compress the effective horizon to
-            # ema_decay**accum_steps. state.step counts update calls, so
-            # the apply boundary is every accum-th call.
+            # ema_decay**accum_steps. Read the apply boundary from the
+            # MultiSteps state itself (mini_step wraps to 0 on the call
+            # that applies) — unlike a (state.step % accum) gate this
+            # stays aligned after resume(), which restores opt_state but
+            # resets the step counter.
             accum = getattr(config.train, "accum_steps", 1)
-            applied = ((state.step + 1) % accum == 0) if accum > 1 else True
+            applied = (opt_state.mini_step == 0) if accum > 1 else True
             d = jnp.where(applied, ema_decay, 1.0)
             ema = jax.tree.map(
                 lambda e, p: d * e + (1.0 - d) * p.astype(e.dtype),

@@ -20,6 +20,18 @@ def main():
                         "(pos-embed interpolation); default: the "
                         "checkpoint's native size")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--calibrate", action="store_true",
+                   help="fit temperature scaling on the validation split "
+                        "(Augmented tree) before evaluating: ECE/Brier "
+                        "improve, argmax metrics are unchanged; records "
+                        "pre/post ECE and the fitted T in the results")
+    p.add_argument("--device_metrics", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="compute metrics fully on device "
+                        "(ops/device_metrics.py) instead of gathering "
+                        "predictions to the host — the distributed-eval "
+                        "path. 'auto' (default) switches it on when more "
+                        "than one device is visible.")
     p.add_argument("--matmul_precision", default=None,
                    choices=["bfloat16", "tensorfloat32", "float32"],
                    help="force XLA matmul precision (TPU default truncates "
@@ -60,7 +72,34 @@ def main():
 
     evaluator = Evaluator(model, params, loader, config,
                           output_dir=args.output_dir)
-    evaluator.evaluate()
+    if args.calibrate:
+        from rovit_kan_tpu.data.dataset import create_dataloaders
+        _, val_loader, _ = create_dataloaders(
+            args.data_root / "Augmented Image",
+            args.data_root / "Original Image",
+            config.data.class_names, config.data.severity_map,
+            batch_size=args.batch_size, image_size=size)
+        t = evaluator.fit_temperature(val_loader)
+        print(f"Fitted temperature on validation split: T={t:.4f}")
+    use_device = (args.device_metrics == "on"
+                  or (args.device_metrics == "auto"
+                      and jax.device_count() > 1))
+    if use_device:
+        # Distributed path: per-batch outputs stay on device and the whole
+        # metric suite runs as one jit program — no host gather of
+        # predictions (SURVEY.md §7 hard part (e)).
+        import json
+        m = evaluator.evaluate_on_device()
+        print("On-device metrics (no host gather):")
+        for key, v in m.items():
+            if key != "confusion_matrix":
+                print(f"  {key:16s} {v:.4f}")
+        args.output_dir.mkdir(parents=True, exist_ok=True)
+        with open(args.output_dir / "test_metrics_device.json", "w") as f:
+            json.dump({k: (v.tolist() if hasattr(v, "tolist") else v)
+                       for k, v in m.items()}, f, indent=2)
+    else:
+        evaluator.evaluate()
 
 
 if __name__ == "__main__":

@@ -205,6 +205,60 @@ def test_tp_step_matches_single_device():
     assert not qkv.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
+def test_flagship_on_mesh_dp_and_dpxtp():
+    """The REAL flagship — get_config()'s 5.7M-param 224px model with EMA +
+    MultiSteps accumulation — jits and executes one step under pure DP and
+    under dp=4 x tp=2 on the 8-device mesh. Catches sharding/divisibility
+    issues toys can't (3 heads vs tp=2, KAN tree, EMA/accumulator state
+    placement)."""
+    from rovit_kan_tpu.config import get_config
+    from rovit_kan_tpu.models.rovit_kan import build_model
+    from rovit_kan_tpu.parallel.tensor import make_2d_mesh, param_specs
+
+    def run(tp):
+        cfg = get_config()
+        cfg.train.batch_size = 8
+        cfg.train.ema_decay = 0.999
+        cfg.train.accum_steps = 2
+        model = build_model(cfg)
+        assert model.embed_dim == 192 and model.depth == 12 \
+            and model.num_heads == 3
+        if tp > 1:
+            mesh = make_2d_mesh(8 // tp, tp)
+            trainer = Trainer(model, None, None, cfg, mesh=mesh, seed=0,
+                              param_specs=True)
+            trainer.param_specs = param_specs(
+                trainer._init_params(jax.random.PRNGKey(0)))
+        else:
+            mesh = make_mesh(8)
+            trainer = Trainer(model, None, None, cfg, mesh=mesh, seed=0)
+        state = trainer.init_state()
+        n_params = sum(int(x.size) for x in jax.tree.leaves(state.params))
+        assert n_params == 5_706_394          # exact flagship
+        assert state.ema_params is not None
+        if tp > 1:
+            qkv = state.params["backbone"]["blocks_0"]["attn"]["qkv"]["kernel"]
+            assert not qkv.sharding.is_fully_replicated
+            moments = [l for l in jax.tree.leaves(state.opt_state)
+                       if getattr(l, "shape", None) == qkv.shape]
+            assert moments and all(
+                not m.sharding.is_fully_replicated for m in moments)
+        batch = {
+            "images": np.random.RandomState(0).randint(
+                0, 256, (8, 224, 224, 3)).astype(np.uint8),
+            "labels": np.arange(8, dtype=np.int32) % 4,
+            "severity": (np.arange(8) % 4).astype(np.float32),
+        }
+        state, m = trainer.train_step(
+            state, shard_batch(batch, mesh), jnp.int32(4),
+            jnp.float32(1.0), jnp.float32(1.0))
+        assert np.isfinite(float(m["total_loss"]))
+
+    run(tp=1)
+    run(tp=2)
+
+
 def test_tp_non_divisible_falls_back_replicated():
     from jax.sharding import PartitionSpec as P
     from rovit_kan_tpu.parallel.tensor import make_2d_mesh, shard_params
