@@ -144,6 +144,10 @@ class TPUConfig:
     # AND the backend is TPU. True/False force one implementation.
     use_pallas_attention: "bool | str" = "auto"
     use_pallas_kan: bool = False
+    # Whole-transformer-block fused kernel (ops/block_kernel.py): one
+    # kernel launch per block, all intermediates VMEM-resident. "auto"
+    # applies the measured policy (see models/rovit_kan.py).
+    use_pallas_block: "bool | str" = "auto"
     donate_state: bool = True
     # Rematerialize backbone blocks on backward (activation memory ~ O(1)
     # in depth instead of O(depth); enables very large batches).

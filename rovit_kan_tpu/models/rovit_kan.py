@@ -58,6 +58,7 @@ class RoViTKAN(nn.Module):
     dtype: Any = jnp.float32          # backbone compute dtype (bf16 for MXU)
     use_pallas_attention: bool = False
     use_pallas_kan: bool = False
+    use_pallas_block: bool = False    # whole-block fused kernel
     remat: bool = False
 
     @nn.compact
@@ -74,6 +75,7 @@ class RoViTKAN(nn.Module):
             embed_dim=self.embed_dim, depth=self.depth,
             num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
             dtype=self.dtype, use_pallas=self.use_pallas_attention,
+            use_fused_block=self.use_pallas_block,
             remat=self.remat, name="backbone",
         )(x, return_attention=return_attention,
           gradcam_perturbation=gradcam_perturbation)
@@ -144,6 +146,19 @@ def _resolve_pallas_attention(setting, *, image_size: int, patch_size: int,
     return bool(setting)
 
 
+def _resolve_pallas_block(setting, *, inference: bool,
+                          dtype: Any = jnp.bfloat16) -> bool:
+    """Whole-block fused kernel policy. ``"auto"`` currently resolves to
+    False pending the on-chip A/B (scripts/bench_kernels.py --block);
+    True/False force it. The fused block needs no aux outputs, so it is
+    only ever engaged for plain forward passes either way (models/vit.py
+    falls back per-call when attention maps or the Grad-CAM tap are
+    requested)."""
+    if setting == "auto":
+        return False
+    return bool(setting)
+
+
 def build_model(config: Config, *, with_ordinal: Optional[bool] = None,
                 with_uncertainty: Optional[bool] = None,
                 with_kan: Optional[bool] = None,
@@ -178,6 +193,9 @@ def build_model(config: Config, *, with_ordinal: Optional[bool] = None,
             image_size=config.data.image_size, patch_size=m.patch_size,
             inference=inference, dtype=dtype),
         use_pallas_kan=config.tpu.use_pallas_kan,
+        use_pallas_block=_resolve_pallas_block(
+            getattr(config.tpu, "use_pallas_block", "auto"),
+            inference=inference, dtype=dtype),
         remat=config.tpu.remat_backbone,
     )
 

@@ -110,17 +110,87 @@ class Mlp(nn.Module):
         return x
 
 
+class _LNParams(nn.Module):
+    """Declares LayerNorm params (same names/inits as nn.LayerNorm) without
+    computing — lets the fused whole-block kernel own the math while the
+    param tree stays checkpoint-identical to the unfused Block."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones,
+                           (self.dim,), jnp.float32),
+                self.param("bias", nn.initializers.zeros,
+                           (self.dim,), jnp.float32))
+
+
+class _DenseParams(nn.Module):
+    """Param-only twin of nn.Dense (kernel lecun_normal, bias zeros)."""
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", nn.initializers.lecun_normal(),
+                           (self.din, self.dout), jnp.float32),
+                self.param("bias", nn.initializers.zeros,
+                           (self.dout,), jnp.float32))
+
+
+class _AttnParams(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (_DenseParams(self.dim, 3 * self.dim, name="qkv")(),
+                _DenseParams(self.dim, self.dim, name="proj")())
+
+
+class _MlpParams(nn.Module):
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        return (_DenseParams(self.dim, self.hidden, name="fc1")(),
+                _DenseParams(self.hidden, self.dim, name="fc2")())
+
+
 class Block(nn.Module):
-    """Pre-LN transformer block: x += MHA(LN(x)); x += MLP(LN(x))."""
+    """Pre-LN transformer block: x += MHA(LN(x)); x += MLP(LN(x)).
+
+    ``use_fused_block`` routes the whole block through ONE Pallas kernel
+    (ops/block_kernel.py) — every intermediate VMEM-resident — whenever no
+    aux output (attention weights / Grad-CAM tap) is requested. The param
+    tree is identical either way (the _*Params declarers mirror the
+    submodule paths), so the flag is a pure runtime choice per checkpoint.
+    """
     dim: int = 192
     num_heads: int = 3
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    use_fused_block: bool = False
 
     @nn.compact
     def __call__(self, x, return_weights: bool = False,
                  norm1_perturbation: Optional[jnp.ndarray] = None):
+        if self.use_fused_block and not return_weights \
+                and norm1_perturbation is None:
+            from rovit_kan_tpu.ops.block_kernel import fused_vit_block
+            ln1s, ln1b = _LNParams(self.dim, name="norm1")()
+            (wqkv, bqkv), (wproj, bproj) = _AttnParams(
+                self.dim, name="attn")()
+            ln2s, ln2b = _LNParams(self.dim, name="norm2")()
+            (w1, b1), (w2, b2) = _MlpParams(
+                self.dim, int(self.dim * self.mlp_ratio), name="mlp")()
+            p = {"ln1_scale": ln1s, "ln1_bias": ln1b,
+                 "wqkv": wqkv, "bqkv": bqkv,
+                 "wproj": wproj, "bproj": bproj,
+                 "ln2_scale": ln2s, "ln2_bias": ln2b,
+                 "w1": w1, "b1": b1, "w2": w2, "b2": b2}
+            out = fused_vit_block(x.astype(self.dtype), p, self.num_heads)
+            return out, None, None
         # LayerNorm always accumulates in fp32 (param_dtype fp32, out fp32
         # then cast) for bf16 stability.
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
@@ -153,6 +223,7 @@ class VisionTransformer(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    use_fused_block: bool = False
     # Rematerialize each block on the backward pass (jax.checkpoint):
     # activations are recomputed instead of stored, trading ~1 extra forward
     # of FLOPs for O(depth) less activation HBM — enables very large batch
@@ -208,6 +279,8 @@ class VisionTransformer(nn.Module):
                 self.embed_dim, self.num_heads, self.mlp_ratio,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas and not return_attention,
+                use_fused_block=(self.use_fused_block
+                                 and not return_attention),
                 name=f"blocks_{i}",
             )(x, return_attention, perturb)
             if return_attention:

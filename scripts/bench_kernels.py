@@ -26,7 +26,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def bench_variant(use_pallas, bf16: bool, batch: int,
                   fwd_iters: int, train_iters: int,
-                  scale: dict | None = None) -> dict:
+                  scale: dict | None = None,
+                  pallas_block: bool = False) -> dict:
     """``use_pallas``: bool for both kernels, or a (attention, kan) pair.
 
     ``scale`` optionally overrides model shape (embed_dim/depth/num_heads/
@@ -45,6 +46,7 @@ def bench_variant(use_pallas, bf16: bool, batch: int,
     config = get_config()
     config.tpu.use_pallas_attention = pallas_attn
     config.tpu.use_pallas_kan = pallas_kan
+    config.tpu.use_pallas_block = pallas_block
     if scale:
         config.model.embed_dim = scale.get("embed_dim",
                                            config.model.embed_dim)
@@ -109,7 +111,7 @@ def bench_variant(use_pallas, bf16: bool, batch: int,
     train_ms = (time.perf_counter() - t0) / train_iters * 1e3
 
     return {"pallas_attn": pallas_attn, "pallas_kan": pallas_kan,
-            "bf16": bf16,
+            "pallas_block": pallas_block, "bf16": bf16,
             "fwd_ms": round(fwd_ms, 3), "train_ms": round(train_ms, 3),
             "fwd_ips": round(batch / fwd_ms * 1e3, 1),
             "train_ips": round(batch / train_ms * 1e3, 1)}
@@ -130,6 +132,9 @@ def main():
                    help="e.g. 384 -> 577 tokens (flash-attention regime)")
     p.add_argument("--attn_only", action="store_true",
                    help="only the (pallas-attn, xla) vs (xla, xla) pair")
+    p.add_argument("--block", action="store_true",
+                   help="A/B the whole-block fused kernel "
+                        "(ops/block_kernel.py) against pure XLA")
     args = p.parse_args()
     scale = {k: v for k, v in [("embed_dim", args.embed_dim),
                                ("depth", args.depth),
@@ -150,9 +155,13 @@ def main():
         combos = [((True, False), True), ((False, False), True)]
     if args.fp32:
         combos += [((True, True), False), ((False, False), False)]
-    for use_pallas, bf16 in combos:
+    combos = [(up, bf, False) for up, bf in combos]
+    if args.block:
+        combos = [((False, False), True, True), ((False, False), True, False)]
+    for use_pallas, bf16, pblock in combos:
         r = bench_variant(use_pallas, bf16, args.batch,
-                          args.fwd_iters, args.train_iters, scale=scale)
+                          args.fwd_iters, args.train_iters, scale=scale,
+                          pallas_block=pblock)
         rows.append(r)
         print(json.dumps(r), flush=True)
 

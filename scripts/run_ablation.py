@@ -17,6 +17,9 @@ def main():
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--patience", type=int, default=None,
+                   help="early-stop patience (epochs without val "
+                        "improvement); default keeps the config value")
     p.add_argument("--fast", action="store_true",
                    help="5 epochs / 1000-sample subset / bs=64 "
                         "(reference run_ablation.py:133-137)")
@@ -70,6 +73,8 @@ def main():
         batch_size = min(batch_size, 8)
     config.train.batch_size = batch_size
     config.train.epochs = epochs
+    if args.patience is not None:
+        config.train.early_stop_patience = args.patience
     # Scale curriculum boundaries to the actual epoch budget (the reference
     # keeps stage boundaries 10/25/40 even in fast mode, which never leaves
     # stage 1 at 5 epochs; we spread stages evenly instead).
