@@ -117,10 +117,14 @@ def main() -> None:
     chip = getattr(dev, "device_kind", str(dev.platform))
     peak_tflops = _chip_peak(chip) if dev.platform == "tpu" else None
 
-    # Default (XLA) compute path: measured faster than the Pallas kernels
-    # at this model size (scripts/bench_kernels.py A/B on TPU v5e).
+    # Forward sections run the INFERENCE build (the "auto" kernel policy
+    # engages the whole-block fused Pallas kernel on TPU bf16 — measured
+    # +36-81% over XLA, outputs/ab_block_sweep.json); the train sections
+    # run the training build (XLA compute path, measured fastest there).
+    # The two builds share one param tree.
     config = get_config()
     model = build_model(config, dtype=jnp.bfloat16)
+    model_inf = build_model(config, dtype=jnp.bfloat16, inference=True)
 
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (BATCH, 224, 224, 3), jnp.float32)
@@ -129,12 +133,12 @@ def main() -> None:
     # ---- forward throughput -------------------------------------------
     @jax.jit
     def fwd_acc(params, x, acc):
-        out = model.apply({"params": params}, x, deterministic=True)
+        out = model_inf.apply({"params": params}, x, deterministic=True)
         return acc + jnp.sum(out["cls_logits"].astype(jnp.float32))
 
     fwd_flops = _cost_flops(
-        jax.jit(lambda p, x: model.apply({"params": p}, x,
-                                         deterministic=True))
+        jax.jit(lambda p, x: model_inf.apply({"params": p}, x,
+                                             deterministic=True))
         .lower(params, x).compile())
 
     acc = jnp.zeros((), jnp.float32)

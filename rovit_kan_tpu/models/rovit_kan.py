@@ -148,14 +148,20 @@ def _resolve_pallas_attention(setting, *, image_size: int, patch_size: int,
 
 def _resolve_pallas_block(setting, *, inference: bool,
                           dtype: Any = jnp.bfloat16) -> bool:
-    """Whole-block fused kernel policy. ``"auto"`` currently resolves to
-    False pending the on-chip A/B (scripts/bench_kernels.py --block);
-    True/False force it. The fused block needs no aux outputs, so it is
-    only ever engaged for plain forward passes either way (models/vit.py
-    falls back per-call when attention maps or the Grad-CAM tap are
-    requested)."""
+    """Whole-block fused kernel policy.
+
+    ``"auto"`` encodes the measured TPU v5e batch sweep
+    (outputs/ab_block_sweep.json, docs/VALIDATION.md round 3): the fused
+    block wins bf16 inference at 197 tokens from bs=1 (+45%) through
+    bs=256 (+81%, where XLA's forward is HBM-bound on intermediates) with
+    only bs=8 inside noise — so it is ON for every bf16 TPU inference
+    build. Training keeps XLA (the fused forward inside the autodiff
+    recompute nets out -4%). The kernel needs no aux outputs; models/
+    vit.py falls back per-call when attention maps or the Grad-CAM tap
+    are requested."""
     if setting == "auto":
-        return False
+        return (bool(inference) and dtype == jnp.bfloat16
+                and jax.default_backend() == "tpu")
     return bool(setting)
 
 

@@ -44,6 +44,23 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (|err| < 1.5e-7) — Pallas TPU
+    has no erf/erfc lowering, and exp is the only transcendental needed."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _gelu_exact(x):
+    """Exact (erf) GELU to float precision — matches jax.nn.gelu(
+    approximate=False) far below bf16 rounding."""
+    return 0.5 * x * (1.0 + _erf(x * (2.0 ** -0.5)))
+
+
 def _ln(x, g, b, eps=1e-6):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
@@ -99,7 +116,7 @@ def _vit_block_kernel(x_ref, ln1g_ref, ln1b_ref, wqkv_ref, bqkv_ref,
     z = _ln(x1, ln2g_ref[:], ln2b_ref[:]).astype(compute_dtype)
     h1 = jnp.dot(z, w1_ref[:],
                  preferred_element_type=jnp.float32) + b1_ref[:]
-    h1 = jax.nn.gelu(h1, approximate=False).astype(compute_dtype)
+    h1 = _gelu_exact(h1).astype(compute_dtype)
     out = x1 + (jnp.dot(h1, w2_ref[:],
                         preferred_element_type=jnp.float32) + b2_ref[:])
 
@@ -125,6 +142,11 @@ def _chunk_images(B: int, n_pad: int, D: int, itemsize: int) -> int:
                 + 2 * n_pad * n_pad * 4)               # score temps
         if weights + work <= budget:
             break
+        c //= 2
+    # Keep the grid >= ~8 programs so x-tile DMA pipelines against compute
+    # (the weight blocks map to index 0 every iteration, so Pallas fetches
+    # them once); a single-program launch leaves the DMA engine serial.
+    while c > 1 and B // c < 8:
         c //= 2
     while B % c:
         c //= 2
