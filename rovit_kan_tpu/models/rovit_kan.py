@@ -150,17 +150,19 @@ def _resolve_pallas_block(setting, *, inference: bool,
                           dtype: Any = jnp.bfloat16) -> bool:
     """Whole-block fused kernel policy.
 
-    ``"auto"`` encodes the measured TPU v5e batch sweep
-    (outputs/ab_block_sweep.json, docs/VALIDATION.md round 3): the fused
-    block wins bf16 inference at 197 tokens from bs=1 (+45%) through
-    bs=256 (+81%, where XLA's forward is HBM-bound on intermediates) with
-    only bs=8 inside noise — so it is ON for every bf16 TPU inference
-    build. Training keeps XLA (the fused forward inside the autodiff
-    recompute nets out -4%). The kernel needs no aux outputs; models/
-    vit.py falls back per-call when attention maps or the Grad-CAM tap
-    are requested."""
+    ``"auto"`` encodes the measured TPU v5e A/Bs
+    (outputs/ab_block_sweep*.json, ab_block_train_197.json,
+    docs/VALIDATION.md round 3): with both directions fused the block
+    kernel wins bf16 on TPU across the board — inference +45% at bs=1
+    through +81% at bs=256 (197 tokens), +77% at 577 tokens, and
+    TRAINING +18% at 197 tokens/bs64 (4,957 vs 4,207 img/s) via the
+    fused Pallas backward — so it is ON for every bf16 TPU build,
+    training and inference alike. fp32 builds (unmeasured, 2x VMEM)
+    stay on XLA. The kernel needs no aux outputs; models/vit.py falls
+    back per-call when attention maps or the Grad-CAM tap are
+    requested."""
     if setting == "auto":
-        return (bool(inference) and dtype == jnp.bfloat16
+        return (dtype == jnp.bfloat16
                 and jax.default_backend() == "tpu")
     return bool(setting)
 

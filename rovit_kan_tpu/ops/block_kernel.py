@@ -21,9 +21,12 @@ Matmul layout: qkv / proj / fc1 / fc2 run on the flattened (C*N, ·) chunk
 per (image, head) with whole (N, N) score tiles resident (same recipe as
 ops/attention.py, which stays for the attention-only configuration).
 
-The custom VJP recomputes through the XLA block math, so training with
-the fused forward is supported but not advantaged; the measured policy
-(models/rovit_kan.py) selects this kernel for inference builds.
+The custom VJP is a fused Pallas kernel too (_vit_block_bwd_kernel):
+forward recompute in VMEM, then the full cotangent chain MLP -> LN2 ->
+proj -> attention (softmax recompute, five matmuls per (image, head)) ->
+qkv -> LN1 with weight grads accumulated across the sequential batch
+grid. The measured policy (models/rovit_kan.py) decides where each
+direction is engaged.
 
 Replaces (with ops/attention.py) the timm CUDA fast-path the reference
 gets for free (`/root/reference/models/backbone.py:12-18`).
@@ -200,6 +203,271 @@ def _fused_block_impl(x, ln1g, ln1b, wqkv, bqkv, wproj, bproj,
     return out[:, :N, :]
 
 
+def _gelu_grad(x):
+    """d/dx gelu_exact(x) = Phi(x) + x * phi(x)."""
+    inv_sqrt2pi = 0.3989422804014327
+    return (0.5 * (1.0 + _erf(x * (2.0 ** -0.5)))
+            + x * inv_sqrt2pi * jnp.exp(-0.5 * x * x))
+
+
+def _ln_fwd_stats(x, g, b, eps=1e-6):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (x - mu) * inv
+    return xhat * g + b, xhat, inv
+
+
+def _ln_bwd(dz, xhat, inv, g):
+    """Input-gradient of LayerNorm given upstream dz (per-row stats)."""
+    dxhat = dz * g
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    return inv * (dxhat - m1 - xhat * m2)
+
+
+def _vit_block_bwd_kernel(x_ref, g_ref, ln1g_ref, ln1b_ref, wqkv_ref,
+                          bqkv_ref, wproj_ref, bproj_ref, ln2g_ref,
+                          ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                          dx_ref, dln1g_ref, dln1b_ref, dwqkv_ref,
+                          dbqkv_ref, dwproj_ref, dbproj_ref, dln2g_ref,
+                          dln2b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *,
+                          n_valid: int, heads: int, compute_dtype):
+    """Whole-block backward: recompute the forward in VMEM, then walk
+    MLP -> LN2 -> proj -> attention (softmax recompute, five matmuls per
+    (image, head)) -> qkv -> LN1. Weight grads accumulate across the
+    sequential batch grid; padded token rows carry zero cotangent so they
+    contribute nothing."""
+    C, n_pad, D = x_ref.shape
+    hd = D // heads
+    scale = hd ** -0.5
+    rows = C * n_pad
+    f32 = jnp.float32
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in (dln1g_ref, dln1b_ref, dwqkv_ref, dbqkv_ref, dwproj_ref,
+                  dbproj_ref, dln2g_ref, dln2b_ref, dw1_ref, db1_ref,
+                  dw2_ref, db2_ref):
+            r[:] = jnp.zeros(r.shape, r.dtype)
+
+    # ---- forward recompute ------------------------------------------------
+    x2 = x_ref[:].astype(f32).reshape(rows, D)
+    y, yhat1, inv1 = _ln_fwd_stats(x2, ln1g_ref[:], ln1b_ref[:])
+    yb = y.astype(compute_dtype)
+    qkv = (jnp.dot(yb, wqkv_ref[:], preferred_element_type=f32)
+           + bqkv_ref[:]).astype(compute_dtype)
+
+    attn_rows = []
+    for i in range(C):
+        r0 = i * n_pad
+        blk = qkv[r0:r0 + n_pad]
+        houts = []
+        for h in range(heads):
+            q = blk[:, h * hd:(h + 1) * hd]
+            k = blk[:, D + h * hd: D + (h + 1) * hd]
+            v = blk[:, 2 * D + h * hd: 2 * D + (h + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32) * scale
+            if n_valid < n_pad:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < n_valid, s, -1e30)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True))
+            houts.append(jnp.dot(p.astype(compute_dtype), v,
+                                 preferred_element_type=f32))
+        attn_rows.append(jnp.concatenate(houts, axis=-1))
+    attn = jnp.stack(attn_rows, axis=0).reshape(rows, D) \
+        .astype(compute_dtype)
+
+    x1 = x2 + (jnp.dot(attn, wproj_ref[:], preferred_element_type=f32)
+               + bproj_ref[:])
+    z, xhat2, inv2 = _ln_fwd_stats(x1, ln2g_ref[:], ln2b_ref[:])
+    zb = z.astype(compute_dtype)
+    a1 = jnp.dot(zb, w1_ref[:], preferred_element_type=f32) + b1_ref[:]
+    h1 = _gelu_exact(a1).astype(compute_dtype)
+
+    # ---- backward ---------------------------------------------------------
+    g = g_ref[:].astype(f32).reshape(rows, D)
+    gb = g.astype(compute_dtype)
+
+    dw2_ref[:] += jax.lax.dot_general(
+        h1, gb, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    db2_ref[:] += jnp.sum(g, axis=0, keepdims=True)
+    da1 = jax.lax.dot_general(
+        gb, w2_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32) * _gelu_grad(a1)
+    da1b = da1.astype(compute_dtype)
+    dw1_ref[:] += jax.lax.dot_general(
+        zb, da1b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    db1_ref[:] += jnp.sum(da1, axis=0, keepdims=True)
+    dz = jax.lax.dot_general(
+        da1b, w1_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32)
+
+    dln2g_ref[:] += jnp.sum(dz * xhat2, axis=0, keepdims=True)
+    dln2b_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
+    dx1 = g + _ln_bwd(dz, xhat2, inv2, ln2g_ref[:])
+    dx1b = dx1.astype(compute_dtype)
+
+    dwproj_ref[:] += jax.lax.dot_general(
+        attn, dx1b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    dbproj_ref[:] += jnp.sum(dx1, axis=0, keepdims=True)
+    dattn = jax.lax.dot_general(
+        dx1b, wproj_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32).astype(compute_dtype)
+
+    # Attention backward per (image, head): recompute P, then
+    # dV = P^T gO, dP = gO V^T, dS = P(dP - rowsum(P dP)) * scale,
+    # dQ = dS K, dK = dS^T Q  (same math as ops/attention.py).
+    dqkv_rows = []
+    for i in range(C):
+        r0 = i * n_pad
+        blk = qkv[r0:r0 + n_pad]
+        go_blk = dattn[r0:r0 + n_pad]
+        dqs, dks, dvs = [], [], []
+        for h in range(heads):
+            q = blk[:, h * hd:(h + 1) * hd]
+            k = blk[:, D + h * hd: D + (h + 1) * hd]
+            v = blk[:, 2 * D + h * hd: 2 * D + (h + 1) * hd]
+            go = go_blk[:, h * hd:(h + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32) * scale
+            if n_valid < n_pad:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < n_valid, s, -1e30)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            p_lo = p.astype(compute_dtype)
+            dvs.append(jax.lax.dot_general(
+                p_lo, go, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32))
+            dp = jax.lax.dot_general(
+                go, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+            ds = (p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+                  * scale).astype(compute_dtype)
+            dqs.append(jnp.dot(ds, k, preferred_element_type=f32))
+            dks.append(jax.lax.dot_general(
+                ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32))
+        dqkv_rows.append(jnp.concatenate(dqs + dks + dvs, axis=-1))
+    dqkv = jnp.stack(dqkv_rows, axis=0).reshape(rows, 3 * D)
+    dqkvb = dqkv.astype(compute_dtype)
+
+    dbqkv_ref[:] += jnp.sum(dqkv, axis=0, keepdims=True)
+    dwqkv_ref[:] += jax.lax.dot_general(
+        yb, dqkvb, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    dy = jax.lax.dot_general(
+        dqkvb, wqkv_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32)
+
+    dln1g_ref[:] += jnp.sum(dy * yhat1, axis=0, keepdims=True)
+    dln1b_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
+    dx = dx1 + _ln_bwd(dy, yhat1, inv1, ln1g_ref[:])
+    dx_ref[:] = dx.reshape(C, n_pad, D).astype(dx_ref.dtype)
+
+
+def _bwd_chunk_images(B: int, n_pad: int, D: int, itemsize: int) -> int:
+    """Images per backward program: the working set is ~3x the forward's
+    (forward recompute + cotangent chain + fp32 (rows, 4D) MLP temps), so
+    the chunk is smaller — C=2 at DeiT-Tiny shapes."""
+    budget = 10 * 1024 * 1024
+    weights = (3 * D * D * 3 + 8 * D * D) * (itemsize + 4)
+    c = 8
+    while c > 1:
+        rows = c * n_pad
+        work = (rows * D * (9 * 4 + 5 * itemsize)      # fp32 + bf16 chains
+                + rows * 3 * D * (4 + itemsize)        # qkv / dqkv
+                + rows * 4 * D * (2 * 4 + itemsize)    # a1, da1, h1
+                + 3 * n_pad * n_pad * 4)               # score temps
+        if weights + work <= budget:
+            break
+        c //= 2
+    while c > 1 and B // c < 8:
+        c //= 2
+    while B % c:
+        c //= 2
+    return c
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def _fused_block_bwd_impl(x, g, ln1g, ln1b, wqkv, bqkv, wproj, bproj,
+                          ln2g, ln2b, w1, b1, w2, b2, heads: int,
+                          interpret: bool):
+    B, N, D = x.shape
+    n_pad = _round_up(N, 8)
+    compute_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    C = _bwd_chunk_images(B, n_pad, D, jnp.dtype(compute_dtype).itemsize)
+
+    xp = jnp.pad(x, ((0, 0), (0, n_pad - N), (0, 0)))
+    gp = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, n_pad - N), (0, 0)))
+
+    def row(v):
+        return v.reshape(1, -1)
+
+    cast = (lambda w: w.astype(compute_dtype))
+    hidden = w1.shape[1]
+    inputs = [xp, gp, row(ln1g), row(ln1b), cast(wqkv), row(bqkv),
+              cast(wproj), row(bproj), row(ln2g), row(ln2b),
+              cast(w1), row(b1), cast(w2), row(b2)]
+    xspec = pl.BlockSpec((C, n_pad, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    in_specs = [xspec, xspec] + [
+        pl.BlockSpec(p.shape, (lambda nd: lambda i: (0,) * nd)(p.ndim),
+                     memory_space=pltpu.VMEM) for p in inputs[2:]]
+
+    grad_shapes = [(1, D), (1, D), (D, 3 * D), (1, 3 * D), (D, D), (1, D),
+                   (1, D), (1, D), (D, hidden), (1, hidden), (hidden, D),
+                   (1, D)]
+    out_specs = [xspec] + [
+        pl.BlockSpec(s, (lambda nd: lambda i: (0,) * nd)(len(s)),
+                     memory_space=pltpu.VMEM) for s in grad_shapes]
+    out_shapes = [jax.ShapeDtypeStruct((B, n_pad, D), x.dtype)] + [
+        jax.ShapeDtypeStruct(s, jnp.float32) for s in grad_shapes]
+
+    kern = functools.partial(_vit_block_bwd_kernel, n_valid=N, heads=heads,
+                             compute_dtype=compute_dtype)
+    flops = 3 * (2 * B * n_pad * D * (3 * D + D + 2 * hidden)
+                 + 4 * B * heads * n_pad * n_pad * (D // heads))
+    outs = pl.pallas_call(
+        kern,
+        grid=(B // C,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=3 * B * n_pad * D * 4
+            + (B // C) * sum(int(p.size) * p.dtype.itemsize
+                             for p in inputs[2:]),
+            transcendentals=3 * B * heads * n_pad * n_pad
+            + 2 * B * n_pad * hidden,
+        ),
+    )(*inputs)
+
+    dx = outs[0][:, :N, :]
+    (dln1g, dln1b, dwqkv, dbqkv, dwproj, dbproj, dln2g, dln2b,
+     dw1, db1, dw2, db2) = outs[1:]
+    dparams = {
+        "ln1_scale": dln1g[0], "ln1_bias": dln1b[0],
+        "wqkv": dwqkv, "bqkv": dbqkv[0],
+        "wproj": dwproj, "bproj": dbproj[0],
+        "ln2_scale": dln2g[0], "ln2_bias": dln2b[0],
+        "w1": dw1, "b1": db1[0], "w2": dw2, "b2": db2[0],
+    }
+    return dx, dparams
+
+
 def _block_xla(x, p, heads: int):
     """Reference XLA formulation of the same block (backward + goldens).
     Mirrors models/vit.py::Block exactly (fp32 LN, compute-dtype matmuls,
@@ -257,8 +525,12 @@ def _fused_block_fwd(x, params, heads):
 
 def _fused_block_bwd(heads, res, g):
     x, params = res
-    _, vjp = jax.vjp(lambda xx, pp: _block_xla(xx, pp, heads), x, params)
-    return vjp(g.astype(x.dtype))
+    interpret = jax.default_backend() != "tpu"
+    dx, dparams = _fused_block_bwd_impl(
+        x, g, *(params[k] for k in _PKEYS), heads=heads,
+        interpret=interpret)
+    # Tangent structure must mirror the primal params dict exactly.
+    return dx, {k: dparams[k].astype(params[k].dtype) for k in params}
 
 
 fused_vit_block.defvjp(_fused_block_fwd, _fused_block_bwd)
