@@ -186,15 +186,22 @@ def fps_benchmark(forward: Callable, example_input,
     import jax
     import jax.numpy as jnp
 
-    def tick(acc):
-        out = forward(example_input)
+    # ONE jitted callable per iteration: the forward plus the accumulator
+    # chain fuse into a single dispatch (eager ops cost ~20 ms each
+    # through this sandbox's relay and would dominate the measurement),
+    # and the input is device-resident before the clock starts.
+    x_dev = jax.device_put(np.asarray(example_input))
+
+    @jax.jit
+    def tick(acc, xx):
+        out = forward(xx)
         leaf = jax.tree.leaves(out)[0]
         return acc + jnp.sum(leaf.astype(jnp.float32))
 
-    acc = tick(jnp.zeros((), jnp.float32))
+    acc = tick(jnp.zeros((), jnp.float32), x_dev)
     float(acc)
     for _ in range(warmup):
-        acc = tick(acc)
+        acc = tick(acc, x_dev)
     float(acc)
 
     per_chunk = max(1, iters // n_chunks)
@@ -203,7 +210,7 @@ def fps_benchmark(forward: Callable, example_input,
         acc = jnp.zeros((), jnp.float32)
         t0 = time.perf_counter()
         for _ in range(per_chunk):
-            acc = tick(acc)
+            acc = tick(acc, x_dev)
         float(acc)                      # host fetch closes the window
         best = min(best, time.perf_counter() - t0)
     batch = np.shape(example_input)[0] if np.ndim(example_input) else 1
