@@ -333,7 +333,9 @@ def _fused_kan_module_impl(x, flat_params, dims, knots_t, degree, interpret):
 
 
 def _kan_module_xla(x, flat_params, dims, knots, degree):
-    """Reference XLA formulation (forward for the custom VJP backward)."""
+    """Reference XLA formulation — the executable spec the fused kernels
+    (forward AND the hand-written backward) are validated against; kept
+    for goldens and for debugging kernel regressions on new shapes."""
     n_layers = len(dims) - 1
     for layer in range(n_layers):
         wspl, wlin, bias = flat_params[3 * layer: 3 * layer + 3]
