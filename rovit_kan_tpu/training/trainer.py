@@ -215,7 +215,10 @@ class Trainer:
         # "model" axis instead of replicated; the train/eval steps are
         # unchanged (GSPMD inserts the collectives).
         self.param_specs = param_specs
-        self.tx = build_optimizer(config)
+        # TP shards optimizer moments per-parameter; the flat single-vector
+        # update cannot, so fall back to the per-leaf chain there.
+        self.tx = build_optimizer(
+            config, flat=False if param_specs is not None else None)
         self.focal_alpha = focal_alpha
         self.seed = seed
 

@@ -42,7 +42,8 @@ def _best_ms(run, iters, n_chunks=5):
     return min(_chunk_times(run, n_chunks)) / iters * 1e3
 
 
-def profile_batch(batch_size: int, iters: int = 20) -> dict:
+def profile_batch(batch_size: int, iters: int = 20,
+                  force_xla: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     from rovit_kan_tpu.config import get_config
@@ -55,6 +56,9 @@ def profile_batch(batch_size: int, iters: int = 20) -> dict:
     from rovit_kan_tpu.training.trainer import TrainState, make_train_step
 
     config = get_config()
+    if force_xla:
+        config.tpu.use_pallas_block = False
+        config.tpu.use_pallas_attention = False
     model = build_model(config, dtype=jnp.bfloat16)
     size = config.data.image_size
     lc = config.loss
@@ -72,7 +76,8 @@ def profile_batch(batch_size: int, iters: int = 20) -> dict:
         rng.randint(0, 4, (batch_size,)).astype(np.float32))
     batch = {"images": images, "labels": labels, "severity": severity}
 
-    out: dict = {"batch_size": batch_size}
+    out: dict = {"batch_size": batch_size,
+                 "compute_path": "xla" if force_xla else "auto"}
 
     # --- stage: H2D (uint8 batch upload) --------------------------------
     def h2d():
@@ -139,7 +144,9 @@ def profile_batch(batch_size: int, iters: int = 20) -> dict:
     @jax.jit
     def fwdbwd_acc(params, xx, k, acc):
         l, g = jax.value_and_grad(loss_fn)(params, xx, k)
-        return acc + l
+        # Consume the grads: without this XLA dead-code-eliminates the
+        # entire backward and the stage silently measures forward-only.
+        return acc + l + jnp.sum(jax.tree.leaves(g)[0])
 
     float(fwdbwd_acc(params, xf, k0, jnp.zeros((), jnp.float32)))
 
@@ -269,6 +276,9 @@ def main():
                    help="also capture an XPlane device trace per batch size")
     p.add_argument("--out", default=None)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--xla", action="store_true",
+                   help="force the pure-XLA compute path (kernel policy "
+                        "off) to decompose the unfused train step")
     args = p.parse_args()
 
     import jax
@@ -280,7 +290,7 @@ def main():
 
     results = []
     for bs in args.batches:
-        r, handles = profile_batch(bs, args.iters)
+        r, handles = profile_batch(bs, args.iters, force_xla=args.xla)
         if args.trace_dir:
             r["trace"] = capture_trace(f"{args.trace_dir}/bs{bs}", *handles)
         results.append(r)

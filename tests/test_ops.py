@@ -266,3 +266,50 @@ def test_create_dataloaders_transform_and_workers(tmp_path):
     assert np.all(np.asarray(tb["images"])[:, 0, 0, 0] == marker)
     eb = next(iter(test_l))
     assert np.all(np.asarray(eb["images"])[:, 0, 0, 0] == marker + 1)
+
+
+def test_flat_adamw_matches_per_leaf_chain():
+    """The single-flat-vector AdamW (fused_optimizer) must reproduce the
+    per-leaf optax chain element-for-element: clipping (incl. a step that
+    triggers it), Adam bias correction, decoupled weight decay, the
+    backbone LR group, and the frozen (backbone_scale=0) regime."""
+    import optax
+    from rovit_kan_tpu.training.optimizer import (build_optimizer,
+                                                  set_hyperparams)
+
+    rng = np.random.RandomState(0)
+
+    def tree(scale=1.0):
+        return {
+            "backbone": {"w": jnp.asarray(rng.normal(0, scale, (7, 5)),
+                                          jnp.float32),
+                         "b": jnp.asarray(rng.normal(0, scale, (5,)),
+                                          jnp.float32)},
+            "head": {"k": jnp.asarray(rng.normal(0, scale, (5, 3)),
+                                      jnp.float32)},
+        }
+
+    cfg = get_config()
+    params_f = tree()
+    params_c = jax.tree.map(jnp.copy, params_f)
+    tx_f = build_optimizer(cfg, flat=True)
+    tx_c = build_optimizer(cfg, flat=False)
+    st_f = tx_f.init(params_f)
+    st_c = tx_c.init(params_c)
+
+    for step, (lr, bb, gscale) in enumerate(
+            [(1e-4, 0.1, 1.0), (1e-4, 0.0, 1.0),      # frozen backbone
+             (5e-4, 0.1, 50.0),                       # triggers clipping
+             (5e-4, 0.1, 1.0), (1e-3, 0.1, 0.01)]):
+        st_f = set_hyperparams(st_f, lr, bb)
+        st_c = set_hyperparams(st_c, lr, bb)
+        grads = tree(gscale)
+        up_f, st_f = tx_f.update(grads, st_f, params_f)
+        up_c, st_c = tx_c.update(grads, st_c, params_c)
+        params_f = optax.apply_updates(params_f, up_f)
+        params_c = optax.apply_updates(params_c, up_c)
+        for a, b in zip(jax.tree.leaves(params_f),
+                        jax.tree.leaves(params_c)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7, rtol=1e-6,
+                                       err_msg=f"step {step}")
