@@ -1,12 +1,16 @@
 #!/usr/bin/env python
-"""Serving-engine throughput A/B: the "auto" attention policy vs forced
-XLA, at the checkpoint's native and a transferred resolution.
+"""Serving-engine throughput A/B: the "auto" kernel policy (round 3:
+whole-block fused Pallas kernel ON for every bf16 TPU inference build)
+vs the block kernel forced off (pre-round-3 behavior — XLA at 197
+tokens, packed-heads Pallas attention at >=512).
 
 This measures the policy where it actually ships — the InferenceEngine a
 user loads with ``load_engine`` — rather than a bare kernel microbench.
-The expected result (docs/VALIDATION.md "Pallas vs XLA"): identical
-engines at 224px/197 tokens (auto resolves to XLA), and the fused Pallas
-forward's win appearing at 384px/577 tokens in bf16 on TPU.
+Caveat for this sandbox: each ``predict`` pays one uint8 H2D transfer
+through the TPU relay (~4.8 MB at bs32/224px), which dominates the
+~2-4 ms of compute, so through the relay both arms measure the transfer
+path, not the kernels (docs/VALIDATION.md "Serving"). On local-attached
+hardware the block kernel's +45-81%% forward win applies directly.
 
 Usage:
     python scripts/bench_serving.py CHECKPOINT [--image_size 384]
@@ -70,7 +74,7 @@ def main():
         for policy in ("auto", False):
             cfg = Config.from_dict(ck["config"])
             cfg.data.image_size = size
-            cfg.tpu.use_pallas_attention = policy
+            cfg.tpu.use_pallas_block = policy
             p_sized = params
             if size != base_cfg.data.image_size:
                 p_sized = transfer_resolution(params, size,
@@ -80,7 +84,8 @@ def main():
                                            batch_size=args.batch_size),
                            imgs, args.iters)
             row = {"image_size": size, "policy": str(policy),
-                   "resolved_pallas": bool(model.use_pallas_attention),
+                   "resolved_block": bool(model.use_pallas_block),
+                   "resolved_attention": bool(model.use_pallas_attention),
                    "images_per_sec": round(ips, 1)}
             rows.append(row)
             print(json.dumps(row), flush=True)

@@ -31,12 +31,17 @@ def main():
     from rovit_kan_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    # inference=False: jax.export cannot serialize tpu_custom_call (no
-    # compatibility guarantee) and cannot lower pallas_call for non-TPU
-    # --platforms, so the export always takes the XLA attention path even
-    # where the "auto" policy would pick the Pallas kernel for live serving.
+    # TPU-only exports take the inference build, so the "auto" policy can
+    # bake the fused Pallas block kernel into the artifact (tpu_custom_call
+    # is on jax.export's guaranteed-stable custom-call list; verified
+    # round-trip bit-identical on v5e — docs/VALIDATION.md "Export").
+    # Cross-platform exports (--platforms incl. cpu/cuda) must stay on the
+    # XLA path: pallas_call cannot lower a Mosaic kernel for other backends.
+    import jax
+    tpu_only = all(pl == "tpu" for pl in
+                   (args.platforms or [jax.default_backend()]))
     model, params = load_model_for_evaluation(args.checkpoint,
-                                              inference=False)
+                                              inference=tpu_only)
     n = save_exported(args.out, model, params, args.batch_size,
                       args.platforms)
     print(f"Exported {args.out} ({n / 1e6:.1f} MB, batch={args.batch_size}, "
