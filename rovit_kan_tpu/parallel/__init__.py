@@ -11,3 +11,12 @@ from rovit_kan_tpu.parallel.tensor import (  # noqa: F401
     shard_params,
     shard_state,
 )
+from rovit_kan_tpu.parallel.pipeline import (  # noqa: F401
+    make_pipeline_mesh,
+    make_pipelined_train_step,
+    merge_params,
+    pipeline_blocks,
+    pipelined_forward,
+    shard_pipeline_params,
+    split_params,
+)

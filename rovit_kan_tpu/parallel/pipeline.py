@@ -1,0 +1,321 @@
+"""Pipeline parallelism (GPipe schedule) for the transformer block stack.
+
+The reference is strictly single-device (SURVEY.md §2 item 17); this module
+completes the TPU parallelism portfolio (DP `mesh.py`, 2-D TP `tensor.py`,
+multi-host `multihost.py`) with the third classic axis: the 12 blocks are
+split into S contiguous *stages*, one per rank of a ``"pipe"`` mesh axis,
+and microbatches stream through the stages with activations handed
+stage-to-stage over ICI by ``jax.lax.ppermute`` inside ``shard_map``.
+
+TPU-native design (the shard_map+ppermute recipe from the public scaling
+playbook — NOT a port of any torch pipeline engine):
+
+- **Param layout**: the per-block param subtrees (``backbone/blocks_i``,
+  identical structures) are stacked on a leading depth axis and sharded
+  ``P("pipe")`` — each device *stores* only ``depth / S`` blocks, which is
+  the whole point of pipeline parallelism (model memory scales 1/S).
+  ``split_params`` / ``merge_params`` convert to and from the canonical
+  checkpoint tree, so checkpoints stay layout-independent.
+- **Schedule**: classic GPipe. The local batch is cut into M microbatches;
+  for ``t in range(M + S - 1)`` (a ``lax.scan`` — compiled once, no Python
+  unrolling) every stage applies its blocks (an inner ``lax.scan`` over the
+  local depth) to its current microbatch and ppermutes the activation to
+  the next stage. Bubble fraction is the textbook ``(S-1)/(M+S-1)``.
+- **Everything outside the block stack** (patch embed, CLS/pos, final LN,
+  task heads, loss) runs as plain GSPMD ops on the global arrays — sharded
+  over ``"data"``, replicated over ``"pipe"`` — so the pipelined step
+  composes with the existing DP story unchanged; XLA inserts the gradient
+  psums over "data" exactly as in the 1-D mesh path.
+- The whole schedule is differentiable (``ppermute``/``psum`` have exact
+  transposes), so one ``jax.grad`` drives pipelined *training*.
+
+At the flagship's 5.7M params pipeline parallelism is never *required*;
+it exists for the scaled-up widths this framework also serves (the block
+kernel is validated to d=768 — docs/VALIDATION.md "Scale generalization")
+and to prove the framework's mesh story covers dp x tp x pp.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+PIPE_AXIS = "pipe"
+
+
+def make_pipeline_mesh(data: int = -1, pipe: int = 2,
+                       devices: Optional[Sequence] = None) -> Mesh:
+    """Mesh with axes ``("data", "pipe")`` over ``data * pipe`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if data == -1:
+        data = len(devices) // pipe
+    n = data * pipe
+    if n > len(devices):
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n]).reshape(data, pipe),
+                (DATA_AXIS, PIPE_AXIS))
+
+
+def _block_keys(params: Dict[str, Any]) -> list:
+    bb = params["backbone"]
+    n = sum(1 for k in bb if k.startswith("blocks_"))
+    return [f"blocks_{i}" for i in range(n)]
+
+
+def split_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Canonical checkpoint tree -> ``{"blocks": stacked, "rest": ...}``.
+
+    ``blocks`` leaves carry a leading ``(depth, ...)`` axis (stack of the
+    structurally-identical ``blocks_i`` subtrees); ``rest`` is the original
+    tree with the blocks removed. Inverse: :func:`merge_params`.
+    """
+    keys = _block_keys(params)
+    blocks = [params["backbone"][k] for k in keys]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    rest = dict(params)
+    rest["backbone"] = {k: v for k, v in params["backbone"].items()
+                        if k not in keys}
+    return {"blocks": stacked, "rest": rest}
+
+
+def merge_params(split: Dict[str, Any]) -> Dict[str, Any]:
+    """Inverse of :func:`split_params` (for checkpointing a pipelined run)."""
+    depth = jax.tree.leaves(split["blocks"])[0].shape[0]
+    params = dict(split["rest"])
+    bb = dict(params["backbone"])
+    for i in range(depth):
+        bb[f"blocks_{i}"] = jax.tree.map(lambda x: x[i], split["blocks"])
+    params["backbone"] = bb
+    return params
+
+
+def pipeline_param_shardings(split: Dict[str, Any],
+                             mesh: Mesh) -> Dict[str, Any]:
+    """NamedSharding tree: blocks sharded on depth over "pipe", rest
+    replicated (divisibility-checked like tensor.shard_params)."""
+    S = dict(zip(mesh.axis_names, mesh.devices.shape))[PIPE_AXIS]
+
+    def blk(x):
+        spec = P(PIPE_AXIS) if x.shape[0] % S == 0 else P()
+        return NamedSharding(mesh, spec)
+
+    return {
+        "blocks": jax.tree.map(blk, split["blocks"]),
+        "rest": jax.tree.map(lambda _: NamedSharding(mesh, P()),
+                             split["rest"]),
+    }
+
+
+def shard_pipeline_params(split: Dict[str, Any], mesh: Mesh
+                          ) -> Dict[str, Any]:
+    shardings = pipeline_param_shardings(split, mesh)
+    return jax.tree.map(jax.device_put, split, shardings)
+
+
+def _flat_block(b: Dict[str, Any]) -> Dict[str, Any]:
+    """Flax block param subtree -> the flat dict `_block_xla` consumes."""
+    return {
+        "ln1_scale": b["norm1"]["scale"], "ln1_bias": b["norm1"]["bias"],
+        "wqkv": b["attn"]["qkv"]["kernel"], "bqkv": b["attn"]["qkv"]["bias"],
+        "wproj": b["attn"]["proj"]["kernel"],
+        "bproj": b["attn"]["proj"]["bias"],
+        "ln2_scale": b["norm2"]["scale"], "ln2_bias": b["norm2"]["bias"],
+        "w1": b["mlp"]["fc1"]["kernel"], "b1": b["mlp"]["fc1"]["bias"],
+        "w2": b["mlp"]["fc2"]["kernel"], "b2": b["mlp"]["fc2"]["bias"],
+    }
+
+
+def pipeline_blocks(tokens: jnp.ndarray, stacked: Dict[str, Any],
+                    mesh: Mesh, *, heads: int, n_micro: int) -> jnp.ndarray:
+    """Run the stacked block params over ``tokens`` with a GPipe schedule.
+
+    Args:
+        tokens: ``(B, N, D)`` global token array (sharded over "data" or
+            replicated — any layout jit can reshard).
+        stacked: pytree with leading ``(depth, ...)`` leaves (from
+            :func:`split_params`), depth divisible by the "pipe" axis size.
+        mesh: mesh containing axes "data" and "pipe".
+        heads: attention head count.
+        n_micro: microbatches per local batch (must divide
+            ``B / mesh.shape["data"]``).
+
+    Returns:
+        ``(B, N, D)`` tokens after all ``depth`` blocks, numerically
+        matching the sequential unfused forward (same per-block math as
+        ``ops.block_kernel._block_xla``).
+    """
+    from rovit_kan_tpu.ops.block_kernel import _block_xla
+
+    S = dict(zip(mesh.axis_names, mesh.devices.shape))[PIPE_AXIS]
+    depth = jax.tree.leaves(stacked)[0].shape[0]
+    if depth % S:
+        raise ValueError(f"depth {depth} not divisible by pipe={S}")
+
+    def run(x, params):                      # x: (B_loc, N, D) per shard
+        stage = jax.lax.axis_index(PIPE_AXIS)
+        B_loc, N, D = x.shape
+        if B_loc % n_micro:
+            raise ValueError(
+                f"local batch {B_loc} not divisible by n_micro={n_micro}")
+        mb = B_loc // n_micro
+        xm = x.reshape(n_micro, mb, N, D)
+
+        def apply_stage(y):
+            def body(carry, p):
+                return _block_xla(carry, _flat_block(p), heads), None
+            y, _ = jax.lax.scan(body, y, params)
+            return y
+
+        def tick(carry, t):
+            buf, out = carry
+            inp = jax.lax.dynamic_index_in_dim(
+                xm, jnp.clip(t, 0, n_micro - 1), 0, keepdims=False)
+            y = apply_stage(jnp.where(stage == 0, inp, buf))
+            # Last stage banks its result once the pipe has filled.
+            idx = jnp.clip(t - (S - 1), 0, n_micro - 1)
+            w = ((stage == S - 1) & (t >= S - 1)).astype(y.dtype)
+            cur = jax.lax.dynamic_index_in_dim(out, idx, 0, keepdims=False)
+            out = jax.lax.dynamic_update_index_in_dim(
+                out, cur * (1 - w) + y * w, idx, 0)
+            buf = jax.lax.ppermute(
+                y, PIPE_AXIS, [(i, (i + 1) % S) for i in range(S)])
+            return (buf, out), None
+
+        init = (jnp.zeros((mb, N, D), x.dtype),
+                jnp.zeros((n_micro, mb, N, D), x.dtype))
+        (_, out), _ = jax.lax.scan(tick, init,
+                                   jnp.arange(n_micro + S - 1))
+        # Broadcast the last stage's banked outputs to every pipe rank
+        # (one all-reduce over "pipe"; rides ICI) so downstream GSPMD ops
+        # see a pipe-replicated value.
+        out = jax.lax.psum(
+            jnp.where(stage == S - 1, out, 0).astype(jnp.float32),
+            PIPE_AXIS).astype(x.dtype)
+        return out.reshape(B_loc, N, D)
+
+    return jax.shard_map(
+        run, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(PIPE_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )(tokens, stacked)
+
+
+def _embed(model, bb: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
+    """Patch embed + CLS + pos — pure-function mirror of
+    models/vit.py::VisionTransformer.__call__ lines 254-266."""
+    dtype = model.dtype
+    B, H, W, C = x.shape
+    p = model.patch_size
+    gh, gw = H // p, W // p
+    x = x.reshape(B, gh, p, gw, p, C).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(B, gh * gw, p * p * C).astype(dtype)
+    proj = bb["patch_embed"]["proj"]
+    x = x @ proj["kernel"].astype(dtype) + proj["bias"].astype(dtype)
+    cls = jnp.broadcast_to(bb["cls_token"], (B, 1, x.shape[-1]))
+    x = jnp.concatenate([cls.astype(x.dtype), x], axis=1)
+    return x + bb["pos_embed"].astype(x.dtype)
+
+
+def _final_features(bb: Dict[str, Any], tokens: jnp.ndarray) -> jnp.ndarray:
+    """Final LayerNorm (fp32) + CLS pooling (vit.py lines 291-293)."""
+    t = tokens.astype(jnp.float32)
+    mu = jnp.mean(t, axis=-1, keepdims=True)
+    var = jnp.mean((t - mu) ** 2, axis=-1, keepdims=True)
+    t = (t - mu) * jax.lax.rsqrt(var + 1e-6)
+    t = t * bb["norm"]["scale"] + bb["norm"]["bias"]
+    return t[:, 0]
+
+
+def _apply_heads(model, params: Dict[str, Any],
+                 feats: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Task heads on the CLS feature, applied from their param subtrees
+    (deterministic — the pipelined step regularizes at the data level)."""
+    from rovit_kan_tpu.models.heads import (
+        ClassificationHead, OrdinalHead, UncertaintyHead)
+    from rovit_kan_tpu.models.kan import KANSeverityModule
+
+    B = feats.shape[0]
+    out = {
+        "features": feats,
+        "cls_logits": ClassificationHead(
+            model.hidden_dim, model.num_classes, model.dropout).apply(
+            {"params": params["classification_head"]}, feats, True),
+    }
+    if model.with_ordinal:
+        out["ordinal_logits"] = OrdinalHead(
+            model.hidden_dim, model.num_classes, model.dropout).apply(
+            {"params": params["ordinal_head"]}, feats, True)
+    else:
+        out["ordinal_logits"] = jnp.zeros((B, model.num_classes - 1))
+    if model.with_uncertainty:
+        mu, log_var = UncertaintyHead(
+            model.hidden_dim, model.dropout).apply(
+            {"params": params["uncertainty_head"]}, feats, True)
+    else:
+        mu, log_var = jnp.zeros((B, 1)), jnp.zeros((B, 1))
+    out["mu"], out["log_var"] = mu, log_var
+    if model.with_kan:
+        out["kan_severity"] = KANSeverityModule(
+            tuple(model.kan_layers), model.kan_num_knots,
+            model.kan_degree).apply({"params": params["kan_module"]}, feats)
+    else:
+        out["kan_severity"] = jnp.zeros((B, 1))
+    return out
+
+
+def pipelined_forward(model, split: Dict[str, Any], images: jnp.ndarray,
+                      mesh: Mesh, *, n_micro: int = 4
+                      ) -> Dict[str, jnp.ndarray]:
+    """Full RoViT-KAN forward with the block stack pipelined over "pipe".
+
+    Numerically matches ``model.apply`` on the merged params (unfused XLA
+    path) — asserted in tests/test_pipeline.py.
+    """
+    tokens = _embed(model, split["rest"]["backbone"], images)
+    tokens = pipeline_blocks(tokens, split["blocks"], mesh,
+                             heads=model.num_heads, n_micro=n_micro)
+    feats = _final_features(split["rest"]["backbone"], tokens)
+    return _apply_heads(model, split["rest"], feats)
+
+
+def make_pipelined_train_step(model, mesh: Mesh, optimizer, *,
+                              n_micro: int = 4, stage: int = 4,
+                              head_mask: Optional[Dict[str, bool]] = None):
+    """Jitted dp x pp training step over the split param tree.
+
+    Returns ``step(split_params, opt_state, batch) -> (split_params,
+    opt_state, metrics)`` where ``batch`` holds normalized fp32 ``images``
+    (B, H, W, 3), int ``labels`` and float ``severity``; B is sharded over
+    "data" and the block params over "pipe". The joint loss, its stage
+    mask and the optimizer are exactly the single-device ones — only the
+    layout differs.
+    """
+    import optax
+
+    from rovit_kan_tpu.training.losses import joint_loss
+
+    mask = head_mask or model.head_mask
+
+    def loss_fn(split, batch):
+        out = pipelined_forward(model, split, batch["images"], mesh,
+                                n_micro=n_micro)
+        losses = joint_loss(out, batch["labels"], batch["severity"],
+                            stage, head_mask=mask)
+        return losses["total_loss"], losses
+
+    @jax.jit
+    def step(split, opt_state, batch):
+        (_, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(split, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, split)
+        split = optax.apply_updates(split, updates)
+        return split, opt_state, losses
+
+    return step
