@@ -224,5 +224,28 @@ class Config:
         return cfg
 
 
-def get_config() -> Config:
-    return Config()
+#: Backbone width presets. "tiny" is the reference's DeiT-Tiny flagship
+#: (`/root/reference/models/backbone.py:12-18`); "small"/"base" are the
+#: standard DeiT widths this framework is additionally validated at — the
+#: fused block kernel wins at every preset (docs/VALIDATION.md "Scale
+#: generalization": inference +105% at d=384/bs256, +83% at d=768/bs256;
+#: training +16% at d=384) and the dp/tp/pp mesh recipes apply unchanged.
+_PRESETS = {
+    "tiny": dict(embed_dim=192, num_heads=3),
+    "small": dict(embed_dim=384, num_heads=6),
+    "base": dict(embed_dim=768, num_heads=12),
+}
+
+
+def get_config(preset: str = "tiny") -> Config:
+    """Default config, optionally at a scaled backbone preset
+    ("tiny" | "small" | "base"). The KAN tree's input width follows the
+    embed dim; everything else (depth 12, patch 16, heads' hidden dims,
+    training recipe) is preset-independent."""
+    cfg = Config()
+    if preset != "tiny":
+        p = _PRESETS[preset]
+        cfg.model.embed_dim = p["embed_dim"]
+        cfg.model.num_heads = p["num_heads"]
+        cfg.model.kan_layers = [p["embed_dim"]] + cfg.model.kan_layers[1:]
+    return cfg

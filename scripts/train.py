@@ -21,6 +21,10 @@ def main():
     p.add_argument("--output_dir", type=Path, default=Path("outputs/train"))
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--preset", default="tiny",
+                   choices=["tiny", "small", "base"],
+                   help="backbone width preset (DeiT-Tiny/Small/Base; "
+                        "kernels + mesh recipes validated at all three)")
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic dataset under data_root")
     p.add_argument("--synthetic_per_class", type=int, default=None,
@@ -99,7 +103,7 @@ def main():
     # Seeding (reference train.py:22-28); JAX keys derive from --seed below.
     np.random.seed(args.seed)
 
-    config = get_config()
+    config = get_config(args.preset)
     if args.pretrained_npz:
         config.model.pretrained_npz = args.pretrained_npz
     config.paths.checkpoints_dir = args.output_dir / "checkpoints"

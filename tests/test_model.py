@@ -194,3 +194,32 @@ def test_build_model_auto_policy_defaults_to_xla_for_training():
     assert cfg.tpu.use_pallas_attention == "auto"
     model = build_model(cfg)                     # training build, CPU
     assert model.use_pallas_attention is False
+
+
+def test_scaled_presets_build_and_forward():
+    """get_config presets: Small/Base widths build, forward, and keep the
+    KAN input width tied to the embed dim (docs/VALIDATION.md validates
+    the kernels + mesh recipes at these widths)."""
+    import jax
+    import jax.numpy as jnp
+    from rovit_kan_tpu.config import get_config
+    from rovit_kan_tpu.models.rovit_kan import build_model
+
+    for preset, d, h in [("small", 384, 6), ("base", 768, 12)]:
+        cfg = get_config(preset)
+        assert cfg.model.embed_dim == d and cfg.model.num_heads == h
+        assert cfg.model.kan_layers[0] == d
+        cfg.data.image_size = 32          # tiny spatial size, real width
+        cfg.flags.mixed_precision = False
+        model = build_model(cfg)
+        x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        out = model.apply({"params": params}, x, deterministic=True)
+        assert out["cls_logits"].shape == (2, 4)
+        assert out["features"].shape == (2, d)
+    # Round-trip through the checkpoint dict keeps the preset widths.
+    cfg2 = get_config("small")
+    from rovit_kan_tpu.config import Config
+    restored = Config.from_dict(cfg2.to_dict())
+    assert restored.model.embed_dim == 384
+    assert restored.model.kan_layers[0] == 384
