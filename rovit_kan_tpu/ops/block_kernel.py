@@ -47,6 +47,17 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _vmem_budget_mb(env: str, default: int) -> int:
+    """Planning budget (MB) for the chunk sizers, overridable via env for
+    on-chip A/B tuning (v5e VMEM is 128 MB total; the default leaves
+    headroom for Mosaic's own temporaries and double-buffered DMA)."""
+    import os
+    try:
+        return int(os.environ.get(env, default))
+    except ValueError:
+        return default
+
+
 def _erf(x):
     """Abramowitz-Stegun 7.1.26 rational erf (|err| < 1.5e-7) — Pallas TPU
     has no erf/erfc lowering, and exp is the only transcendental needed."""
@@ -134,7 +145,7 @@ def _chunk_images(B: int, n_pad: int, D: int, itemsize: int) -> int:
     """Images per program: biggest power-of-two C whose working set
     (x/y/out fp32+bf16 tiles, qkv, MLP hidden, score temps, weights)
     stays within ~10 MB of VMEM. C=8 at DeiT-Tiny (224px bf16)."""
-    budget = 10 * 1024 * 1024
+    budget = _vmem_budget_mb("ROVIT_BLOCK_FWD_BUDGET_MB", 10) * 1024 * 1024
     weights = (3 * D * D * 3 + 8 * D * D) * itemsize   # qkv+proj+fc1+fc2
     c = 8
     while c > 1:
@@ -380,7 +391,7 @@ def _bwd_chunk_images(B: int, n_pad: int, D: int, itemsize: int) -> int:
     """Images per backward program: the working set is ~3x the forward's
     (forward recompute + cotangent chain + fp32 (rows, 4D) MLP temps), so
     the chunk is smaller — C=2 at DeiT-Tiny shapes."""
-    budget = 10 * 1024 * 1024
+    budget = _vmem_budget_mb("ROVIT_BLOCK_BWD_BUDGET_MB", 10) * 1024 * 1024
     weights = (3 * D * D * 3 + 8 * D * D) * (itemsize + 4)
     c = 8
     while c > 1:
