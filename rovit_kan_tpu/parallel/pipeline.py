@@ -132,7 +132,8 @@ def _flat_block(b: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def pipeline_blocks(tokens: jnp.ndarray, stacked: Dict[str, Any],
-                    mesh: Mesh, *, heads: int, n_micro: int) -> jnp.ndarray:
+                    mesh: Mesh, *, heads: int, n_micro: int,
+                    remat: bool = True) -> jnp.ndarray:
     """Run the stacked block params over ``tokens`` with a GPipe schedule.
 
     Args:
@@ -144,6 +145,13 @@ def pipeline_blocks(tokens: jnp.ndarray, stacked: Dict[str, Any],
         heads: attention head count.
         n_micro: microbatches per local batch (must divide
             ``B / mesh.shape["data"]``).
+        remat: rematerialize each stage application on the backward pass
+            (``jax.checkpoint``). Backprop through the tick scan would
+            otherwise store every block's intermediates for all
+            ``M + S - 1`` ticks; with remat only the per-tick stage
+            inputs are kept — the standard memory/FLOPs trade for
+            pipelined training (on by default; the schedule's backward
+            recomputes one extra forward per stage).
 
     Returns:
         ``(B, N, D)`` tokens after all ``depth`` blocks, numerically
@@ -172,6 +180,9 @@ def pipeline_blocks(tokens: jnp.ndarray, stacked: Dict[str, Any],
             y, _ = jax.lax.scan(body, y, params)
             return y
 
+        if remat:
+            apply_stage = jax.checkpoint(apply_stage)
+
         def tick(carry, t):
             buf, out = carry
             inp = jax.lax.dynamic_index_in_dim(
@@ -199,12 +210,15 @@ def pipeline_blocks(tokens: jnp.ndarray, stacked: Dict[str, Any],
             PIPE_AXIS).astype(x.dtype)
         return out.reshape(B_loc, N, D)
 
-    return jax.shard_map(
+    fn = jax.shard_map(
         run, mesh=mesh,
         in_specs=(P(DATA_AXIS), P(PIPE_AXIS)),
         out_specs=P(DATA_AXIS),
         check_vma=False,
-    )(tokens, stacked)
+    )
+    # jit here (inlined when already under an outer jit) — remat's
+    # closed_call can't be evaluated eagerly inside shard_map.
+    return jax.jit(fn)(tokens, stacked)
 
 
 def _embed(model, bb: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
@@ -271,7 +285,7 @@ def _apply_heads(model, params: Dict[str, Any],
 
 
 def pipelined_forward(model, split: Dict[str, Any], images: jnp.ndarray,
-                      mesh: Mesh, *, n_micro: int = 4
+                      mesh: Mesh, *, n_micro: int = 4, remat: bool = True
                       ) -> Dict[str, jnp.ndarray]:
     """Full RoViT-KAN forward with the block stack pipelined over "pipe".
 
@@ -280,7 +294,8 @@ def pipelined_forward(model, split: Dict[str, Any], images: jnp.ndarray,
     """
     tokens = _embed(model, split["rest"]["backbone"], images)
     tokens = pipeline_blocks(tokens, split["blocks"], mesh,
-                             heads=model.num_heads, n_micro=n_micro)
+                             heads=model.num_heads, n_micro=n_micro,
+                             remat=remat)
     feats = _final_features(split["rest"]["backbone"], tokens)
     return _apply_heads(model, split["rest"], feats)
 
