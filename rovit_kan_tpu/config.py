@@ -158,6 +158,11 @@ class TPUConfig:
     # Rematerialize backbone blocks on backward (activation memory ~ O(1)
     # in depth instead of O(depth); enables very large batches).
     remat_backbone: bool = False
+    # Pipeline parallelism (parallel/pipeline.py): stages over a "pipe"
+    # mesh axis (scripts/train.py --pipeline_parallel S builds the mesh;
+    # any Trainer given a mesh with a "pipe" axis pipelines). Microbatches
+    # per local batch — bubble fraction is (S-1)/(n_micro+S-1).
+    pipeline_microbatches: int = 4
 
 
 @dataclass

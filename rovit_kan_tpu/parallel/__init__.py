@@ -12,10 +12,13 @@ from rovit_kan_tpu.parallel.tensor import (  # noqa: F401
     shard_state,
 )
 from rovit_kan_tpu.parallel.pipeline import (  # noqa: F401
+    is_pipeline_mesh,
     make_pipeline_mesh,
     make_pipelined_train_step,
+    map_param_subtrees,
     merge_params,
     pipeline_blocks,
+    pipeline_param_specs,
     pipelined_forward,
     shard_pipeline_params,
     split_params,

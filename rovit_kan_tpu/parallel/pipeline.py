@@ -11,23 +11,32 @@ TPU-native design (the shard_map+ppermute recipe from the public scaling
 playbook — NOT a port of any torch pipeline engine):
 
 - **Param layout**: the per-block param subtrees (``backbone/blocks_i``,
-  identical structures) are stacked on a leading depth axis and sharded
-  ``P("pipe")`` — each device *stores* only ``depth / S`` blocks, which is
-  the whole point of pipeline parallelism (model memory scales 1/S).
-  ``split_params`` / ``merge_params`` convert to and from the canonical
-  checkpoint tree, so checkpoints stay layout-independent.
+  identical structures) are stacked on a leading depth axis into ONE
+  ``backbone/blocks`` subtree sharded ``P("pipe")`` — each device *stores*
+  only ``depth / S`` blocks, which is the whole point of pipeline
+  parallelism (model memory scales 1/S). The tree keeps its top-level
+  shape, so every path-keyed mechanism (backbone LR group, freeze mask,
+  EMA, weight decay) works unchanged. ``split_params`` / ``merge_params``
+  convert to and from the canonical checkpoint layout, so checkpoints
+  stay layout-independent (the Trainer saves canonical).
 - **Schedule**: classic GPipe. The local batch is cut into M microbatches;
   for ``t in range(M + S - 1)`` (a ``lax.scan`` — compiled once, no Python
   unrolling) every stage applies its blocks (an inner ``lax.scan`` over the
   local depth) to its current microbatch and ppermutes the activation to
   the next stage. Bubble fraction is the textbook ``(S-1)/(M+S-1)``.
+  Each stage application is rematerialized on the backward pass by
+  default (``jax.checkpoint``) so pipelined training stores per-tick
+  stage inputs, not every block intermediate.
 - **Everything outside the block stack** (patch embed, CLS/pos, final LN,
   task heads, loss) runs as plain GSPMD ops on the global arrays — sharded
   over ``"data"``, replicated over ``"pipe"`` — so the pipelined step
   composes with the existing DP story unchanged; XLA inserts the gradient
   psums over "data" exactly as in the 1-D mesh path.
 - The whole schedule is differentiable (``ppermute``/``psum`` have exact
-  transposes), so one ``jax.grad`` drives pipelined *training*.
+  transposes), so one ``jax.grad`` drives pipelined *training*. The
+  Trainer runs its FULL step (augmentation, CutMix/MixUp, curriculum loss,
+  freeze mask, EMA, AdamW) in this layout when given a pipeline mesh —
+  see ``training/trainer.py`` and ``scripts/train.py --pipeline_parallel``.
 
 At the flagship's 5.7M params pipeline parallelism is never *required*;
 it exists for the scaled-up widths this framework also serves (the block
@@ -62,6 +71,10 @@ def make_pipeline_mesh(data: int = -1, pipe: int = 2,
                 (DATA_AXIS, PIPE_AXIS))
 
 
+def is_pipeline_mesh(mesh) -> bool:
+    return mesh is not None and PIPE_AXIS in getattr(mesh, "axis_names", ())
+
+
 def _block_keys(params: Dict[str, Any]) -> list:
     bb = params["backbone"]
     n = sum(1 for k in bb if k.startswith("blocks_"))
@@ -69,53 +82,78 @@ def _block_keys(params: Dict[str, Any]) -> list:
 
 
 def split_params(params: Dict[str, Any]) -> Dict[str, Any]:
-    """Canonical checkpoint tree -> ``{"blocks": stacked, "rest": ...}``.
-
-    ``blocks`` leaves carry a leading ``(depth, ...)`` axis (stack of the
-    structurally-identical ``blocks_i`` subtrees); ``rest`` is the original
-    tree with the blocks removed. Inverse: :func:`merge_params`.
-    """
+    """Canonical tree -> pipelined layout: ``backbone/blocks_i`` subtrees
+    stacked on a leading ``(depth, ...)`` axis as ONE ``backbone/blocks``
+    subtree; everything else untouched. Inverse: :func:`merge_params`."""
     keys = _block_keys(params)
-    blocks = [params["backbone"][k] for k in keys]
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
-    rest = dict(params)
-    rest["backbone"] = {k: v for k, v in params["backbone"].items()
-                        if k not in keys}
-    return {"blocks": stacked, "rest": rest}
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                           *(params["backbone"][k] for k in keys))
+    bb = {k: v for k, v in params["backbone"].items() if k not in keys}
+    bb["blocks"] = stacked
+    return {**{k: v for k, v in params.items() if k != "backbone"},
+            "backbone": bb}
 
 
 def merge_params(split: Dict[str, Any]) -> Dict[str, Any]:
-    """Inverse of :func:`split_params` (for checkpointing a pipelined run)."""
-    depth = jax.tree.leaves(split["blocks"])[0].shape[0]
-    params = dict(split["rest"])
-    bb = dict(params["backbone"])
+    """Inverse of :func:`split_params` (the Trainer checkpoints through
+    this, so pipelined checkpoints are canonical and evaluator/serving
+    load them untouched)."""
+    stacked = split["backbone"]["blocks"]
+    depth = jax.tree.leaves(stacked)[0].shape[0]
+    bb = {k: v for k, v in split["backbone"].items() if k != "blocks"}
     for i in range(depth):
-        bb[f"blocks_{i}"] = jax.tree.map(lambda x: x[i], split["blocks"])
-    params["backbone"] = bb
-    return params
+        bb[f"blocks_{i}"] = jax.tree.map(lambda x: x[i], stacked)
+    return {**{k: v for k, v in split.items() if k != "backbone"},
+            "backbone": bb}
 
 
-def pipeline_param_shardings(split: Dict[str, Any],
-                             mesh: Mesh) -> Dict[str, Any]:
-    """NamedSharding tree: blocks sharded on depth over "pipe", rest
-    replicated (divisibility-checked like tensor.shard_params)."""
-    S = dict(zip(mesh.axis_names, mesh.devices.shape))[PIPE_AXIS]
+def pipeline_param_specs(split: Dict[str, Any]) -> Any:
+    """PartitionSpec tree for the pipelined layout: ``backbone/blocks``
+    leaves shard their leading depth axis ``P("pipe")``, everything else
+    replicates. Feed to ``tensor.shard_params`` / ``tensor.shard_state``
+    (which also handles optimizer moments and divisibility checks)."""
+    def spec(path, _):
+        names = tuple(getattr(k, "key", getattr(k, "name", str(k)))
+                      for k in path)
+        if names[:2] == ("backbone", "blocks"):
+            return P(PIPE_AXIS)
+        return P()
 
-    def blk(x):
-        spec = P(PIPE_AXIS) if x.shape[0] % S == 0 else P()
-        return NamedSharding(mesh, spec)
-
-    return {
-        "blocks": jax.tree.map(blk, split["blocks"]),
-        "rest": jax.tree.map(lambda _: NamedSharding(mesh, P()),
-                             split["rest"]),
-    }
+    return jax.tree_util.tree_map_with_path(spec, split)
 
 
 def shard_pipeline_params(split: Dict[str, Any], mesh: Mesh
                           ) -> Dict[str, Any]:
-    shardings = pipeline_param_shardings(split, mesh)
-    return jax.tree.map(jax.device_put, split, shardings)
+    from rovit_kan_tpu.parallel.tensor import shard_params
+    return shard_params(split, mesh, pipeline_param_specs(split))
+
+
+def map_param_subtrees(tree: Any, template_params: Any, fn) -> Any:
+    """Apply ``fn`` to every subtree of ``tree`` whose structure equals the
+    param tree's (optimizer moments, EMA, grads); leave other leaves
+    untouched. Used to convert optimizer state between canonical and
+    pipelined layouts at checkpoint boundaries."""
+    param_struct = jax.tree_util.tree_structure(template_params)
+
+    def is_param_shaped(x):
+        try:
+            return jax.tree_util.tree_structure(x) == param_struct
+        except Exception:
+            return False
+
+    def rec(node):
+        if is_param_shaped(node):
+            return fn(node)
+        if hasattr(node, "_fields"):            # NamedTuple optax states
+            return type(node)(*(rec(getattr(node, f))
+                                for f in node._fields))
+        if isinstance(node, (list, tuple)):
+            return type(node)(rec(c) for c in node)
+        if isinstance(node, dict):
+            return {k: rec(v) for k, v in node.items()}
+        return node
+
+    return rec(tree)
 
 
 def _flat_block(b: Dict[str, Any]) -> Dict[str, Any]:
@@ -139,8 +177,9 @@ def pipeline_blocks(tokens: jnp.ndarray, stacked: Dict[str, Any],
     Args:
         tokens: ``(B, N, D)`` global token array (sharded over "data" or
             replicated — any layout jit can reshard).
-        stacked: pytree with leading ``(depth, ...)`` leaves (from
-            :func:`split_params`), depth divisible by the "pipe" axis size.
+        stacked: pytree with leading ``(depth, ...)`` leaves
+            (``split_params(...)["backbone"]["blocks"]``), depth divisible
+            by the "pipe" axis size.
         mesh: mesh containing axes "data" and "pipe".
         heads: attention head count.
         n_micro: microbatches per local batch (must divide
@@ -247,31 +286,42 @@ def _final_features(bb: Dict[str, Any], tokens: jnp.ndarray) -> jnp.ndarray:
     return t[:, 0]
 
 
-def _apply_heads(model, params: Dict[str, Any],
-                 feats: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """Task heads on the CLS feature, applied from their param subtrees
-    (deterministic — the pipelined step regularizes at the data level)."""
+def _apply_heads(model, params: Dict[str, Any], feats: jnp.ndarray,
+                 deterministic: bool = True,
+                 rng: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
+    """Task heads on the CLS feature, applied from their param subtrees.
+    With ``deterministic=False`` each head draws its dropout mask from a
+    fold of ``rng`` (a different stream than the flax-path-derived keys of
+    ``model.apply`` — equally valid dropout, not bit-identical)."""
     from rovit_kan_tpu.models.heads import (
         ClassificationHead, OrdinalHead, UncertaintyHead)
     from rovit_kan_tpu.models.kan import KANSeverityModule
+
+    def rngs(i):
+        if deterministic or rng is None:
+            return None
+        return {"dropout": jax.random.fold_in(rng, i)}
 
     B = feats.shape[0]
     out = {
         "features": feats,
         "cls_logits": ClassificationHead(
             model.hidden_dim, model.num_classes, model.dropout).apply(
-            {"params": params["classification_head"]}, feats, True),
+            {"params": params["classification_head"]}, feats,
+            deterministic, rngs=rngs(0)),
     }
     if model.with_ordinal:
         out["ordinal_logits"] = OrdinalHead(
             model.hidden_dim, model.num_classes, model.dropout).apply(
-            {"params": params["ordinal_head"]}, feats, True)
+            {"params": params["ordinal_head"]}, feats, deterministic,
+            rngs=rngs(1))
     else:
         out["ordinal_logits"] = jnp.zeros((B, model.num_classes - 1))
     if model.with_uncertainty:
         mu, log_var = UncertaintyHead(
             model.hidden_dim, model.dropout).apply(
-            {"params": params["uncertainty_head"]}, feats, True)
+            {"params": params["uncertainty_head"]}, feats, deterministic,
+            rngs=rngs(2))
     else:
         mu, log_var = jnp.zeros((B, 1)), jnp.zeros((B, 1))
     out["mu"], out["log_var"] = mu, log_var
@@ -285,32 +335,35 @@ def _apply_heads(model, params: Dict[str, Any],
 
 
 def pipelined_forward(model, split: Dict[str, Any], images: jnp.ndarray,
-                      mesh: Mesh, *, n_micro: int = 4, remat: bool = True
+                      mesh: Mesh, *, n_micro: int = 4, remat: bool = True,
+                      deterministic: bool = True,
+                      rng: Optional[jax.Array] = None
                       ) -> Dict[str, jnp.ndarray]:
     """Full RoViT-KAN forward with the block stack pipelined over "pipe".
 
+    ``split`` is the pipelined param layout (:func:`split_params`).
     Numerically matches ``model.apply`` on the merged params (unfused XLA
     path) — asserted in tests/test_pipeline.py.
     """
-    tokens = _embed(model, split["rest"]["backbone"], images)
-    tokens = pipeline_blocks(tokens, split["blocks"], mesh,
+    tokens = _embed(model, split["backbone"], images)
+    tokens = pipeline_blocks(tokens, split["backbone"]["blocks"], mesh,
                              heads=model.num_heads, n_micro=n_micro,
                              remat=remat)
-    feats = _final_features(split["rest"]["backbone"], tokens)
-    return _apply_heads(model, split["rest"], feats)
+    feats = _final_features(split["backbone"], tokens)
+    return _apply_heads(model, split, feats, deterministic, rng)
 
 
 def make_pipelined_train_step(model, mesh: Mesh, optimizer, *,
                               n_micro: int = 4, stage: int = 4,
                               head_mask: Optional[Dict[str, bool]] = None):
-    """Jitted dp x pp training step over the split param tree.
+    """Minimal jitted dp x pp training step over the pipelined param tree
+    (joint loss + optimizer update; no augmentation/EMA — for the FULL
+    curriculum step in this layout use ``Trainer`` with a pipeline mesh).
 
     Returns ``step(split_params, opt_state, batch) -> (split_params,
     opt_state, metrics)`` where ``batch`` holds normalized fp32 ``images``
     (B, H, W, 3), int ``labels`` and float ``severity``; B is sharded over
-    "data" and the block params over "pipe". The joint loss, its stage
-    mask and the optimizer are exactly the single-device ones — only the
-    layout differs.
+    "data" and the block params over "pipe".
     """
     import optax
 

@@ -54,8 +54,21 @@ class TrainState:
     ema_params: Any = None
 
 
+def _default_forward(model) -> Callable:
+    """``(params, x, deterministic, dropout_rng) -> outputs`` via
+    ``model.apply`` — the seam a pipelined Trainer swaps for
+    ``parallel.pipeline.pipelined_forward`` (same contract, different
+    param layout)."""
+    def forward(params, x, deterministic, rng):
+        rngs = None if deterministic else {"dropout": rng}
+        return model.apply({"params": params}, x,
+                           deterministic=deterministic, rngs=rngs)
+    return forward
+
+
 def make_train_step(model, tx, config: Config,
-                    focal_alpha: Optional[np.ndarray] = None) -> Callable:
+                    focal_alpha: Optional[np.ndarray] = None,
+                    forward_fn: Optional[Callable] = None) -> Callable:
     """Build the jit'd train step.
 
     Signature: ``(state, batch, stage, backbone_live, use_mix) -> (state,
@@ -68,6 +81,8 @@ def make_train_step(model, tx, config: Config,
     alpha = jnp.asarray(focal_alpha) if focal_alpha is not None else None
     head_mask = model.head_mask
     ema_decay = getattr(config.train, "ema_decay", 0.0)
+    if forward_fn is None:
+        forward_fn = _default_forward(model)
 
     def step_fn(state: TrainState, batch, stage, backbone_live, use_mix):
         rng, k_aug, k_mix, k_drop = jax.random.split(state.rng, 4)
@@ -85,8 +100,7 @@ def make_train_step(model, tx, config: Config,
         lb = jnp.where(use_mix > 0, lb, la)
 
         def loss_fn(params):
-            out = model.apply({"params": params}, x, deterministic=False,
-                              rngs={"dropout": k_drop})
+            out = forward_fn(params, x, False, k_drop)
             losses = joint_loss(
                 out, labels, severity, stage,
                 lambda_ord=lc.lambda_ord, mu_unc=lc.mu_unc, nu_kan=lc.nu_kan,
@@ -174,16 +188,19 @@ def make_scanned_epoch(step_core: Callable, mesh=None,
 
 
 def make_eval_step(model, config: Config,
-                   focal_alpha: Optional[np.ndarray] = None) -> Callable:
+                   focal_alpha: Optional[np.ndarray] = None,
+                   forward_fn: Optional[Callable] = None) -> Callable:
     """Jit'd eval step: deterministic forward, stage-4 loss, valid-masked
     batch statistics (reference val_epoch, trainer.py:183-231)."""
     lc = config.loss
     alpha = jnp.asarray(focal_alpha) if focal_alpha is not None else None
     head_mask = model.head_mask
+    if forward_fn is None:
+        forward_fn = _default_forward(model)
 
     def step_fn(params, batch):
         x = eval_batch(batch["images"])
-        out = model.apply({"params": params}, x, deterministic=True)
+        out = forward_fn(params, x, True, None)
         valid = batch["valid"]
         losses = joint_loss(out, batch["labels"], batch["severity"], 4,
                             lambda_ord=lc.lambda_ord, mu_unc=lc.mu_unc,
@@ -215,17 +232,49 @@ class Trainer:
         # "model" axis instead of replicated; the train/eval steps are
         # unchanged (GSPMD inserts the collectives).
         self.param_specs = param_specs
-        # TP shards optimizer moments per-parameter; the flat single-vector
-        # update cannot, so fall back to the per-leaf chain there.
+        # Pipeline-parallel mode: a mesh carrying a "pipe" axis switches
+        # the param layout to parallel/pipeline.py's (blocks stacked and
+        # sharded P("pipe")) and routes the forward through the GPipe
+        # schedule; the rest of the step (augmentation, mixup, curriculum
+        # loss, freeze mask, EMA, AdamW) is byte-identical code.
+        from rovit_kan_tpu.parallel.pipeline import is_pipeline_mesh
+        self.pipelined = is_pipeline_mesh(self.mesh)
+        if self.pipelined and param_specs is not None:
+            raise ValueError("pipeline mesh and tensor-parallel param_specs "
+                             "are mutually exclusive (use a 3-D mesh + "
+                             "custom specs if you need both)")
+        forward_fn = None
+        if self.pipelined:
+            from rovit_kan_tpu.parallel.pipeline import pipelined_forward
+            n_micro = int(getattr(config.tpu, "pipeline_microbatches", 4))
+            # Fit to the local batch: largest divisor of B_loc <= requested
+            # (a non-divisor would fail shape checks; fewer microbatches
+            # just means a bigger bubble).
+            data_ax = dict(zip(self.mesh.axis_names,
+                               self.mesh.devices.shape)).get("data", 1)
+            b_loc = max(config.train.batch_size // max(data_ax, 1), 1)
+            while n_micro > 1 and b_loc % n_micro:
+                n_micro -= 1
+            self._n_micro = n_micro
+            _mesh, _n = self.mesh, self._n_micro
+
+            def forward_fn(params, x, deterministic, rng):
+                return pipelined_forward(
+                    model, params, x, _mesh, n_micro=_n,
+                    deterministic=deterministic, rng=rng)
+        # TP/PP shard optimizer moments per-parameter; the flat
+        # single-vector update cannot, so fall back to the per-leaf chain.
         self.tx = build_optimizer(
-            config, flat=False if param_specs is not None else None)
+            config,
+            flat=False if (param_specs is not None or self.pipelined)
+            else None)
         self.focal_alpha = focal_alpha
         self.seed = seed
 
         self.train_step, self._step_core = make_train_step(
-            model, self.tx, config, focal_alpha)
+            model, self.tx, config, focal_alpha, forward_fn=forward_fn)
         self.eval_step, self._eval_core = make_eval_step(
-            model, config, focal_alpha)
+            model, config, focal_alpha, forward_fn=forward_fn)
         self._scanned_epoch = None   # built lazily for DeviceLoader input
 
         self._use_mix = 1.0 if (config.flags.use_mixup
@@ -241,10 +290,15 @@ class Trainer:
         return self.model.init(key, jnp.zeros((1, size, size, 3)))["params"]
 
     def init_state(self, params=None) -> TrainState:
+        """``params`` (when given) is always the CANONICAL layout; the
+        pipelined trainer converts internally."""
         rng = jax.random.PRNGKey(self.seed)
         if params is None:
             k_init, rng = jax.random.split(rng)
             params = self._init_params(k_init)
+        if self.pipelined:
+            from rovit_kan_tpu.parallel.pipeline import split_params
+            params = split_params(params)
         opt_state = self.tx.init(params)
         ema = (jax.tree.map(jnp.copy, params)
                if self.config.train.ema_decay > 0 else None)
@@ -263,6 +317,11 @@ class Trainer:
         if self.param_specs is not None:
             from rovit_kan_tpu.parallel.tensor import shard_state
             return shard_state(state, self.mesh, self.param_specs)
+        if self.pipelined:
+            from rovit_kan_tpu.parallel.pipeline import pipeline_param_specs
+            from rovit_kan_tpu.parallel.tensor import shard_state
+            return shard_state(state, self.mesh,
+                               pipeline_param_specs(state.params))
         return replicate(state, self.mesh)
 
     def _epoch_knobs(self, epoch: int):
@@ -467,6 +526,14 @@ class Trainer:
             # EMA resumed from a non-EMA checkpoint seeds from params.
             ema = jax.tree.map(jnp.copy, params) if ema_on else None
         self.best_val_loss = ck.get("best_val_loss", float("inf"))
+        if self.pipelined:
+            # Checkpoints are canonical (see save_checkpoint); convert to
+            # the pipelined layout before placing on the mesh.
+            from rovit_kan_tpu.parallel.pipeline import (
+                map_param_subtrees, split_params)
+            opt_state = map_param_subtrees(opt_state, params, split_params)
+            params = split_params(params)
+            ema = split_params(ema) if ema is not None else None
         state = TrainState(params=params, opt_state=opt_state, rng=rng,
                            step=jnp.zeros((), jnp.int32), ema_params=ema)
         return self._place_state(state), ck.get("epoch", 0) + 1
@@ -538,10 +605,20 @@ class Trainer:
     def save_checkpoint(self, state: TrainState, epoch: int,
                         metrics: Dict[str, float], name: str = "best_model"):
         from rovit_kan_tpu.utils.checkpoint import save_checkpoint
-        save_checkpoint(self._ckpt_dir() / name, state.params,
-                        opt_state=state.opt_state, epoch=epoch,
+        params, opt_state, ema = (state.params, state.opt_state,
+                                  state.ema_params)
+        if self.pipelined:
+            # Checkpoints are always CANONICAL layout: evaluator, serving,
+            # export, and non-pipelined resumes load them untouched.
+            from rovit_kan_tpu.parallel.pipeline import (
+                map_param_subtrees, merge_params)
+            opt_state = map_param_subtrees(opt_state, params, merge_params)
+            ema = merge_params(ema) if ema is not None else None
+            params = merge_params(params)
+        save_checkpoint(self._ckpt_dir() / name, params,
+                        opt_state=opt_state, epoch=epoch,
                         best_val_loss=self.best_val_loss, metrics=metrics,
-                        config=self.config, ema_params=state.ema_params)
+                        config=self.config, ema_params=ema)
 
     def load_checkpoint(self, name: str = "best_model"):
         from rovit_kan_tpu.utils.checkpoint import load_checkpoint

@@ -40,6 +40,12 @@ def main():
                    help="tiny model + 2 epochs (smoke test)")
     p.add_argument("--devices", type=int, default=-1,
                    help="data-parallel mesh size (-1 = all)")
+    p.add_argument("--pipeline_parallel", type=int, default=1,
+                   help="pipeline stages (GPipe over a 'pipe' mesh axis; "
+                        "depth must divide; see docs/SCALING.md)")
+    p.add_argument("--pipeline_microbatches", type=int, default=None,
+                   help="microbatches per local batch (default "
+                        "config.tpu.pipeline_microbatches)")
     p.add_argument("--tensor_parallel", type=int, default=1,
                    help="model-axis size of a 2-D (data x model) mesh; "
                         "shards attention+MLP weights Megatron-style "
@@ -167,6 +173,9 @@ def main():
         cfg.loss.focal_alpha = focal_alpha.tolist()
 
         param_specs = None
+        if args.tensor_parallel > 1 and args.pipeline_parallel > 1:
+            raise SystemExit("--tensor_parallel and --pipeline_parallel "
+                             "are mutually exclusive")
         if args.tensor_parallel > 1:
             from rovit_kan_tpu.parallel.tensor import make_2d_mesh
             # --devices counts TOTAL devices; the data axis is the rest.
@@ -176,6 +185,16 @@ def main():
             param_specs = True    # resolved to a spec tree below
             print(f"Mesh: data={mesh.devices.shape[0]} x "
                   f"model={mesh.devices.shape[1]} (tensor parallel)")
+        elif args.pipeline_parallel > 1:
+            from rovit_kan_tpu.parallel.pipeline import make_pipeline_mesh
+            data_ax = (-1 if args.devices == -1
+                       else args.devices // args.pipeline_parallel)
+            mesh = make_pipeline_mesh(data_ax, args.pipeline_parallel)
+            if args.pipeline_microbatches:
+                cfg.tpu.pipeline_microbatches = args.pipeline_microbatches
+            print(f"Mesh: data={mesh.devices.shape[0]} x "
+                  f"pipe={mesh.devices.shape[1]} (pipeline parallel, "
+                  f"{cfg.tpu.pipeline_microbatches} microbatches)")
         else:
             mesh = make_mesh(args.devices)
         if args.device_cache:
@@ -208,8 +227,11 @@ def main():
                 print(f"Loading pretrained weights: "
                       f"{cfg.model.pretrained_npz}")
                 pre = load_npz(cfg.model.pretrained_npz)
+                # Merge over a CANONICAL-layout init (init_state converts
+                # to the pipelined layout itself when applicable).
+                base = trainer._init_params(jax.random.PRNGKey(seed))
                 state = trainer.init_state(
-                    params=merge_pretrained(state.params, pre))
+                    params=merge_pretrained(base, pre))
         print("Parameters:", count_parameters(state.params)["total"])
 
         if args.profile_dir:

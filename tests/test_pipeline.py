@@ -1,7 +1,8 @@
 """Pipeline parallelism: the GPipe shard_map schedule must match the plain
-sequential forward bit-for-tolerance, its gradients must match, and a full
+sequential forward to float tolerance, its gradients must match, a full
 dp x pp training step must run with block params actually sharded over the
-"pipe" axis."""
+"pipe" axis, and the Trainer's pipelined mode must match the plain Trainer
+step-for-step (same rng streams) while checkpointing canonically."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -39,7 +40,8 @@ def setup():
 def test_split_merge_roundtrip(setup):
     model, params, _ = setup
     split = split_params(params)
-    assert jax.tree.leaves(split["blocks"])[0].shape[0] == 4
+    assert "blocks" in split["backbone"] and "blocks_0" not in split["backbone"]
+    assert jax.tree.leaves(split["backbone"]["blocks"])[0].shape[0] == 4
     merged = merge_params(split)
     assert jax.tree.structure(merged) == jax.tree.structure(params)
     for a, b in zip(jax.tree.leaves(merged), jax.tree.leaves(params)):
@@ -67,16 +69,15 @@ def test_pipeline_blocks_only_matches_scan(setup):
 
     model, params, _ = setup
     mesh = make_pipeline_mesh(data=2, pipe=4)
-    split = split_params(params)
+    stacked = split_params(params)["backbone"]["blocks"]
     key = jax.random.PRNGKey(1)
     tokens = jax.random.normal(key, (8, 5, 32), jnp.float32)
 
-    got = pipeline_blocks(tokens, split["blocks"], mesh, heads=2, n_micro=2)
+    got = pipeline_blocks(tokens, stacked, mesh, heads=2, n_micro=2)
     want = tokens
     for i in range(4):
         want = _block_xla(
-            want, _flat_block(
-                jax.tree.map(lambda v: v[i], split["blocks"])), 2)
+            want, _flat_block(jax.tree.map(lambda v: v[i], stacked)), 2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=1e-3)
 
@@ -114,7 +115,7 @@ def test_pipelined_train_step_runs_and_shards(setup):
     mesh = make_pipeline_mesh(data=2, pipe=4)
     split = shard_pipeline_params(split_params(params), mesh)
     # Block params must actually live sharded over "pipe".
-    leaf = jax.tree.leaves(split["blocks"])[0]
+    leaf = jax.tree.leaves(split["backbone"]["blocks"])[0]
     spec = leaf.sharding.spec
     assert spec and spec[0] == "pipe"
 
@@ -130,10 +131,119 @@ def test_pipelined_train_step_runs_and_shards(setup):
     l0 = float(losses["total_loss"])
     assert np.isfinite(l0)
     # Params changed and kept their sharding.
-    leaf2 = jax.tree.leaves(split2["blocks"])[0]
+    leaf2 = jax.tree.leaves(split2["backbone"]["blocks"])[0]
     assert not np.allclose(np.asarray(leaf), np.asarray(leaf2))
     assert leaf2.sharding.spec[0] == "pipe"
     # Loss drops over a few steps on the fixed batch.
     for _ in range(3):
         split2, opt_state, losses = step(split2, opt_state, batch)
     assert float(losses["total_loss"]) < l0
+
+
+# --- Trainer integration -------------------------------------------------
+
+def _trainer_pair():
+    """A pipelined (dp=2 x pp=4) and a plain 1-device Trainer over the same
+    toy config; dropout 0 so the two layouts' rng streams can't diverge."""
+    from rovit_kan_tpu.config import get_config
+    from rovit_kan_tpu.parallel.mesh import make_mesh
+    from rovit_kan_tpu.training.trainer import Trainer
+
+    cfg = get_config()
+    cfg.data.image_size = 32
+    cfg.train.batch_size = 8
+    cfg.flags.mixed_precision = False
+    cfg.model.depth = 4
+    cfg.model.embed_dim = 32
+    cfg.model.num_heads = 2
+    cfg.model.hidden_dim = 16
+    cfg.model.dropout = 0.0
+    cfg.model.kan_layers = [32, 8, 1]
+    cfg.tpu.use_pallas_attention = False
+    cfg.tpu.use_pallas_kan = False
+    cfg.tpu.use_pallas_block = False
+    cfg.tpu.pipeline_microbatches = 2
+    model = RoViTKAN(embed_dim=32, depth=4, num_heads=2, image_size=32,
+                     patch_size=16, kan_layers=(32, 8, 1), hidden_dim=16,
+                     dropout=0.0, use_pallas_attention=False,
+                     use_pallas_kan=False, use_pallas_block=False)
+    pmesh = make_pipeline_mesh(data=2, pipe=4)
+    tr_pipe = Trainer(model, None, None, cfg, mesh=pmesh, seed=0)
+    tr_plain = Trainer(model, None, None, cfg, mesh=make_mesh(1), seed=0)
+    return cfg, tr_pipe, tr_plain
+
+
+def _batch(seed=0, bs=8):
+    rng = np.random.RandomState(seed)
+    return {
+        "images": rng.randint(0, 256, (bs, 32, 32, 3)).astype(np.uint8),
+        "labels": rng.randint(0, 4, (bs,)).astype(np.int32),
+        "severity": rng.randint(0, 4, (bs,)).astype(np.float32),
+    }
+
+
+def test_trainer_pipelined_step_matches_plain(tmp_path):
+    from rovit_kan_tpu.parallel.mesh import shard_batch
+
+    cfg, tr_pipe, tr_plain = _trainer_pair()
+    assert tr_pipe.pipelined and not tr_plain.pipelined
+
+    s_pipe = tr_pipe.init_state()
+    s_plain = tr_plain.init_state()
+    # Same seed -> identical canonical params; pipelined state holds the
+    # split layout sharded over "pipe".
+    blk = s_pipe.params["backbone"]["blocks"]
+    assert jax.tree.leaves(blk)[0].sharding.spec[0] == "pipe"
+    merged0 = merge_params(s_pipe.params)
+    for a, b in zip(jax.tree.leaves(merged0),
+                    jax.tree.leaves(s_plain.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Two full train steps (augmentation + mixup + joint loss + AdamW):
+    # identical rng streams, float-tolerance losses, matching params.
+    args = (jnp.int32(4), jnp.float32(1.0), jnp.float32(1.0))
+    for i in range(2):
+        b = _batch(i)
+        s_pipe, m_pipe = tr_pipe.train_step(
+            s_pipe, shard_batch(b, tr_pipe.mesh), *args)
+        s_plain, m_plain = tr_plain.train_step(
+            s_plain, shard_batch(b, tr_plain.mesh), *args)
+        np.testing.assert_allclose(float(m_pipe["total_loss"]),
+                                   float(m_plain["total_loss"]),
+                                   rtol=2e-3, atol=2e-3)
+    merged = merge_params(s_pipe.params)
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(merged),
+                            jax.tree.leaves(s_plain.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_trainer_pipelined_checkpoint_is_canonical(tmp_path):
+    """save_checkpoint from a pipelined Trainer must write the canonical
+    layout (loadable by evaluator/serving and by a plain Trainer.resume);
+    the pipelined resume must round-trip back to the split layout."""
+    cfg, tr_pipe, tr_plain = _trainer_pair()
+    cfg.paths.checkpoints_dir = tmp_path / "ck"
+    state = tr_pipe.init_state()
+    tr_pipe.save_checkpoint(state, epoch=3, metrics={"total_loss": 1.0})
+
+    ck = tr_pipe.load_checkpoint()
+    assert "blocks_0" in ck["params"]["backbone"]          # canonical
+    assert "blocks" not in ck["params"]["backbone"]
+
+    # Pipelined resume: split layout again, sharded, optimizer restored.
+    state2, next_epoch = tr_pipe.resume()
+    assert next_epoch == 4
+    blk = state2.params["backbone"]["blocks"]
+    assert jax.tree.leaves(blk)[0].sharding.spec[0] == "pipe"
+    for a, b in zip(jax.tree.leaves(merge_params(state2.params)),
+                    jax.tree.leaves(merge_params(state.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # A PLAIN trainer resumes the same checkpoint untouched.
+    tr_plain.config.paths.checkpoints_dir = tmp_path / "ck"
+    state3, _ = tr_plain.resume()
+    for a, b in zip(jax.tree.leaves(state3.params),
+                    jax.tree.leaves(merge_params(state.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
