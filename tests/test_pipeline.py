@@ -247,3 +247,63 @@ def test_trainer_pipelined_checkpoint_is_canonical(tmp_path):
     for a, b in zip(jax.tree.leaves(state3.params),
                     jax.tree.leaves(merge_params(state.params))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_pipelined_scanned_epoch_fit(tmp_path):
+    """Composition proof: pipeline mesh + HBM DeviceLoader (whole-epoch
+    lax.scan) + eval + canonical checkpointing in one fit(); losses match
+    a plain 1-device fit with the same seeds to float tolerance."""
+    from rovit_kan_tpu.data.device_cache import DeviceLoader
+    from rovit_kan_tpu.parallel.mesh import make_mesh
+    from rovit_kan_tpu.training.trainer import Trainer
+
+    class ArrayDS:
+        def __init__(self, n=16):
+            rng = np.random.RandomState(0)
+            self.imgs = rng.randint(0, 256, (n, 32, 32, 3)).astype(np.uint8)
+            self.labels = rng.randint(0, 4, n)
+            self.sev = self.labels.astype(np.float32)
+
+        def __len__(self):
+            return len(self.imgs)
+
+        def __getitem__(self, i):
+            return self.imgs[i], int(self.labels[i]), float(self.sev[i])
+
+        def get_class_weights(self):
+            return np.ones(4, np.float32)
+
+    cfg, tr_pipe, tr_plain = _trainer_pair()
+    ds = ArrayDS()
+    cfg.train.epochs = 2
+    cfg.train.early_stop_patience = 10
+
+    import copy
+    cfg_p = copy.deepcopy(cfg)
+    cfg_p.paths.checkpoints_dir = tmp_path / "pp"
+    pmesh = tr_pipe.mesh
+    tr_pp = Trainer(tr_pipe.model, DeviceLoader(ds, 8, shuffle=True,
+                                                drop_last=True, seed=7,
+                                                mesh=pmesh),
+                    DeviceLoader(ds, 8, mesh=pmesh), cfg_p,
+                    mesh=pmesh, seed=3)
+    res_pp = tr_pp.fit()
+
+    cfg_s = copy.deepcopy(cfg)
+    cfg_s.paths.checkpoints_dir = tmp_path / "plain"
+    mesh1 = make_mesh(1)
+    tr_1 = Trainer(tr_plain.model, DeviceLoader(ds, 8, shuffle=True,
+                                                drop_last=True, seed=7),
+                   DeviceLoader(ds, 8), cfg_s, mesh=mesh1, seed=3)
+    res_1 = tr_1.fit()
+
+    for e in range(2):
+        p = res_pp["history"]["train"][e]
+        s = res_1["history"]["train"][e]
+        assert p["total_loss"] == pytest.approx(s["total_loss"], rel=3e-3)
+        pv = res_pp["history"]["val"][e]
+        sv = res_1["history"]["val"][e]
+        assert pv["total_loss"] == pytest.approx(sv["total_loss"], rel=3e-3)
+    # The best-model checkpoint written during fit is canonical.
+    ck = tr_pp.load_checkpoint()
+    assert "blocks_0" in ck["params"]["backbone"]
