@@ -390,7 +390,13 @@ def _vit_block_bwd_kernel(x_ref, g_ref, ln1g_ref, ln1b_ref, wqkv_ref,
 def _bwd_chunk_images(B: int, n_pad: int, D: int, itemsize: int) -> int:
     """Images per backward program: the working set is ~3x the forward's
     (forward recompute + cotangent chain + fp32 (rows, 4D) MLP temps), so
-    the chunk is smaller — C=2 at DeiT-Tiny shapes."""
+    the chunk is smaller — C=2 at DeiT-Tiny shapes.
+
+    C=2 is also the measured HARD ceiling there: Mosaic's scoped-VMEM
+    stack limit is 16 MB on v5e, and C=4 (via ROVIT_BLOCK_BWD_BUDGET_MB=20)
+    fails compilation needing 16.78 MB; the limit flag can't be raised
+    through this stack. The 10 MB planning default leaves the right
+    headroom — don't raise it at d=192."""
     budget = _vmem_budget_mb("ROVIT_BLOCK_BWD_BUDGET_MB", 10) * 1024 * 1024
     weights = (3 * D * D * 3 + 8 * D * D) * (itemsize + 4)
     c = 8
