@@ -207,31 +207,40 @@ def main():
                   f"{mesh.devices.size} device(s))")
         model = build_model(cfg)
         logger = ExperimentLogger(cfg.paths.logs_dir, "train")
-        trainer = Trainer(model, train_l, val_l, cfg, logger=logger,
-                          focal_alpha=focal_alpha, mesh=mesh, seed=seed)
+        specs = None
         if param_specs:
             from rovit_kan_tpu.parallel.tensor import param_specs as mk_specs
-            trainer.param_specs = mk_specs(
-                trainer._init_params(jax.random.PRNGKey(seed)))
+            # Structure-only init (eval_shape — no FLOPs, no memory) to
+            # derive the spec tree BEFORE constructing the Trainer: the
+            # constructor must see param_specs to fall back from the flat
+            # single-vector AdamW (whose moments cannot shard) to the
+            # per-leaf chain.
+            dummy = np.zeros((1, cfg.data.image_size, cfg.data.image_size,
+                              3), np.float32)
+            shapes = jax.eval_shape(model.init, jax.random.PRNGKey(seed),
+                                    dummy)["params"]
+            specs = mk_specs(shapes)
+        trainer = Trainer(model, train_l, val_l, cfg, logger=logger,
+                          focal_alpha=focal_alpha, mesh=mesh, seed=seed,
+                          param_specs=specs)
 
         start_epoch = 1
         if args.resume and (cfg.paths.checkpoints_dir
                             / "best_model").exists():
             state, start_epoch = trainer.resume()
             print(f"Resumed from epoch {start_epoch - 1}")
+        elif cfg.model.pretrained_npz:
+            from rovit_kan_tpu.models.convert import (
+                load_npz, merge_pretrained)
+            print(f"Loading pretrained weights: "
+                  f"{cfg.model.pretrained_npz}")
+            pre = load_npz(cfg.model.pretrained_npz)
+            # Merge over a CANONICAL-layout init (init_state converts to
+            # the pipelined layout itself when applicable).
+            base = trainer._init_params(jax.random.PRNGKey(seed))
+            state = trainer.init_state(params=merge_pretrained(base, pre))
         else:
             state = trainer.init_state()
-            if cfg.model.pretrained_npz:
-                from rovit_kan_tpu.models.convert import (
-                    load_npz, merge_pretrained)
-                print(f"Loading pretrained weights: "
-                      f"{cfg.model.pretrained_npz}")
-                pre = load_npz(cfg.model.pretrained_npz)
-                # Merge over a CANONICAL-layout init (init_state converts
-                # to the pipelined layout itself when applicable).
-                base = trainer._init_params(jax.random.PRNGKey(seed))
-                state = trainer.init_state(
-                    params=merge_pretrained(base, pre))
         print("Parameters:", count_parameters(state.params)["total"])
 
         if args.profile_dir:
@@ -244,7 +253,14 @@ def main():
         result = trainer.fit(state, start_epoch=start_epoch)
         logger.plot_training_curves()
 
-        evaluator = Evaluator(model, result["best_state"].params, test_l,
+        # Evaluate the same weights model selection and the checkpoint use:
+        # the EMA tree when EMA is on, merged back to the canonical layout
+        # when the run was pipeline-parallel.
+        eval_weights = trainer.eval_params(result["best_state"])
+        if trainer.pipelined:
+            from rovit_kan_tpu.parallel.pipeline import merge_params
+            eval_weights = merge_params(eval_weights)
+        evaluator = Evaluator(model, eval_weights, test_l,
                               cfg, output_dir=cfg.paths.results_dir)
         return evaluator.evaluate()
 
