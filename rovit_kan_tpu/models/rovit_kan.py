@@ -147,23 +147,27 @@ def _resolve_pallas_attention(setting, *, image_size: int, patch_size: int,
 
 
 def _resolve_pallas_block(setting, *, inference: bool,
-                          dtype: Any = jnp.bfloat16) -> bool:
+                          dtype: Any = jnp.bfloat16,
+                          embed_dim: int = 192) -> bool:
     """Whole-block fused kernel policy.
 
     ``"auto"`` encodes the measured TPU v5e A/Bs
-    (outputs/ab_block_sweep*.json, ab_block_train_197.json,
+    (outputs/ab_block_sweep*.json, ab_block_train_*.json,
     docs/VALIDATION.md round 3): with both directions fused the block
-    kernel wins bf16 on TPU across the board — inference +45% at bs=1
-    through +81% at bs=256 (197 tokens), +77% at 577 tokens, and
-    TRAINING +18% at 197 tokens/bs64 (4,957 vs 4,207 img/s) via the
-    fused Pallas backward — so it is ON for every bf16 TPU build,
-    training and inference alike. fp32 builds (unmeasured, 2x VMEM)
-    stay on XLA. The kernel needs no aux outputs; models/vit.py falls
-    back per-call when attention maps or the Grad-CAM tap are
-    requested."""
+    kernel wins bf16 on TPU — inference +45% at bs=1 through +81% at
+    bs=256 (197 tokens, d=192), +105%/+83% at d=384/768 bs=256, and
+    TRAINING +37% at d=192 / +16% at d=384 via the fused Pallas
+    backward. TRAINING at d>512 is gated OFF: the backward kernel's
+    C=1 stack needs 27 MB scoped VMEM at d=768 vs the 16 MB v5e limit
+    (fails compilation inside the scanned-epoch program; measured win
+    there was +3% anyway — XLA backward costs nothing). fp32 builds
+    (unmeasured, 2x VMEM) stay on XLA. The kernel needs no aux
+    outputs; models/vit.py falls back per-call when attention maps or
+    the Grad-CAM tap are requested."""
     if setting == "auto":
         return (dtype == jnp.bfloat16
-                and jax.default_backend() == "tpu")
+                and jax.default_backend() == "tpu"
+                and (bool(inference) or embed_dim <= 512))
     return bool(setting)
 
 
@@ -203,7 +207,7 @@ def build_model(config: Config, *, with_ordinal: Optional[bool] = None,
         use_pallas_kan=config.tpu.use_pallas_kan,
         use_pallas_block=_resolve_pallas_block(
             getattr(config.tpu, "use_pallas_block", "auto"),
-            inference=inference, dtype=dtype),
+            inference=inference, dtype=dtype, embed_dim=m.embed_dim),
         remat=config.tpu.remat_backbone,
     )
 

@@ -38,7 +38,6 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -144,9 +143,11 @@ def _vit_block_kernel(x_ref, ln1g_ref, ln1b_ref, wqkv_ref, bqkv_ref,
 def _chunk_images(B: int, n_pad: int, D: int, itemsize: int) -> int:
     """Images per program: biggest power-of-two C whose working set
     (x/y/out fp32+bf16 tiles, qkv, MLP hidden, score temps, weights)
-    stays within ~10 MB of VMEM. C=8 at DeiT-Tiny (224px bf16)."""
+    stays within ~10 MB of VMEM. C=4 at DeiT-Tiny (224px bf16),
+    C=2 at d=384, C=1 at d=768."""
     budget = _vmem_budget_mb("ROVIT_BLOCK_FWD_BUDGET_MB", 10) * 1024 * 1024
-    weights = (3 * D * D * 3 + 8 * D * D) * itemsize   # qkv+proj+fc1+fc2
+    # qkv (3D^2) + proj (D^2) + fc1 (4D^2) + fc2 (4D^2) = 12 D^2.
+    weights = 12 * D * D * itemsize
     c = 8
     while c > 1:
         rows = c * n_pad
@@ -390,15 +391,17 @@ def _vit_block_bwd_kernel(x_ref, g_ref, ln1g_ref, ln1b_ref, wqkv_ref,
 def _bwd_chunk_images(B: int, n_pad: int, D: int, itemsize: int) -> int:
     """Images per backward program: the working set is ~3x the forward's
     (forward recompute + cotangent chain + fp32 (rows, 4D) MLP temps), so
-    the chunk is smaller — C=2 at DeiT-Tiny shapes.
+    the chunk is smaller — C=1 at DeiT-Tiny shapes.
 
-    C=2 is also the measured HARD ceiling there: Mosaic's scoped-VMEM
-    stack limit is 16 MB on v5e, and C=4 (via ROVIT_BLOCK_BWD_BUDGET_MB=20)
+    C=1 is also the measured HARD ceiling there: Mosaic's scoped-VMEM
+    stack limit is 16 MB on v5e, and C=2 (via ROVIT_BLOCK_BWD_BUDGET_MB=20)
     fails compilation needing 16.78 MB; the limit flag can't be raised
-    through this stack. The 10 MB planning default leaves the right
-    headroom — don't raise it at d=192."""
+    through this stack. At d=768 even C=1 needs ~27 MB — which is why the
+    "auto" policy gates the fused kernel off for TRAINING at d>512
+    (models/rovit_kan.py). The 10 MB planning default leaves the right
+    headroom — don't raise it."""
     budget = _vmem_budget_mb("ROVIT_BLOCK_BWD_BUDGET_MB", 10) * 1024 * 1024
-    weights = (3 * D * D * 3 + 8 * D * D) * (itemsize + 4)
+    weights = 12 * D * D * (itemsize + 4)   # bf16 weights + fp32 grads
     c = 8
     while c > 1:
         rows = c * n_pad

@@ -223,3 +223,28 @@ def test_scaled_presets_build_and_forward():
     restored = Config.from_dict(cfg2.to_dict())
     assert restored.model.embed_dim == 384
     assert restored.model.kan_layers[0] == 384
+
+
+def test_block_kernel_auto_policy_width_gate(monkeypatch):
+    """'auto' keeps the fused block for inference at every width but gates
+    TRAINING off above d=512 (the d=768 backward kernel exceeds the 16MB
+    scoped-VMEM stack limit — docs/VALIDATION.md)."""
+    import jax
+    from rovit_kan_tpu.models.rovit_kan import _resolve_pallas_block
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    for d in (192, 384, 768):
+        assert _resolve_pallas_block("auto", inference=True,
+                                     dtype=jnp.bfloat16, embed_dim=d)
+    assert _resolve_pallas_block("auto", inference=False,
+                                 dtype=jnp.bfloat16, embed_dim=192)
+    assert _resolve_pallas_block("auto", inference=False,
+                                 dtype=jnp.bfloat16, embed_dim=384)
+    assert not _resolve_pallas_block("auto", inference=False,
+                                     dtype=jnp.bfloat16, embed_dim=768)
+    # fp32 stays XLA everywhere; explicit True/False override the table.
+    assert not _resolve_pallas_block("auto", inference=True,
+                                     dtype=jnp.float32, embed_dim=192)
+    assert _resolve_pallas_block(True, inference=False,
+                                 dtype=jnp.float32, embed_dim=768)
