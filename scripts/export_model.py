@@ -23,7 +23,12 @@ def main():
     p.add_argument("--verify", action="store_true",
                    help="reload the artifact and check outputs against the "
                         "live model on random inputs")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax as _jax
+        _jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
     from rovit_kan_tpu.evaluation.evaluator import load_model_for_evaluation
