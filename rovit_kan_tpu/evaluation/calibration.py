@@ -16,7 +16,7 @@ here touches the jit'd inference path except the final scalar divide.
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -23,7 +23,6 @@ don't need torch installed.
 """
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Dict, Mapping
 
 import numpy as np

@@ -45,13 +45,12 @@ and to prove the framework's mesh story covers dp x tp x pp.
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 DATA_AXIS = "data"
 PIPE_AXIS = "pipe"
