@@ -54,18 +54,30 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 DATA_AXIS = "data"
 PIPE_AXIS = "pipe"
+MODEL_AXIS = "model"
 
 
-def make_pipeline_mesh(data: int = -1, pipe: int = 2,
+def make_pipeline_mesh(data: int = -1, pipe: int = 2, model: int = 1,
                        devices: Optional[Sequence] = None) -> Mesh:
-    """Mesh with axes ``("data", "pipe")`` over ``data * pipe`` devices."""
+    """Mesh with axes ``("data", "pipe")`` over ``data * pipe`` devices.
+
+    With ``model > 1`` the mesh gains a third, innermost ``"model"`` axis —
+    ``("data", "pipe", "model")`` — composing pipeline parallelism with
+    Megatron-style tensor parallelism (``tensor.py`` rules applied within
+    each pipeline stage). "model" is innermost so the per-block activation
+    all-reduces (the most frequent collective) ride adjacent-device ICI;
+    the once-per-tick ppermute over "pipe" tolerates the longer hops.
+    """
     if devices is None:
         devices = jax.devices()
     if data == -1:
-        data = len(devices) // pipe
-    n = data * pipe
+        data = len(devices) // (pipe * model)
+    n = data * pipe * model
     if n > len(devices):
         raise ValueError(f"need {n} devices, have {len(devices)}")
+    if model > 1:
+        return Mesh(np.asarray(devices[:n]).reshape(data, pipe, model),
+                    (DATA_AXIS, PIPE_AXIS, MODEL_AXIS))
     return Mesh(np.asarray(devices[:n]).reshape(data, pipe),
                 (DATA_AXIS, PIPE_AXIS))
 
@@ -106,16 +118,26 @@ def merge_params(split: Dict[str, Any]) -> Dict[str, Any]:
             "backbone": bb}
 
 
-def pipeline_param_specs(split: Dict[str, Any]) -> Any:
+def pipeline_param_specs(split: Dict[str, Any], tp: bool = False) -> Any:
     """PartitionSpec tree for the pipelined layout: ``backbone/blocks``
     leaves shard their leading depth axis ``P("pipe")``, everything else
     replicates. Feed to ``tensor.shard_params`` / ``tensor.shard_state``
-    (which also handles optimizer moments and divisibility checks)."""
+    (which also handles optimizer moments and divisibility checks).
+
+    With ``tp=True`` (a mesh that also carries a ``"model"`` axis) each
+    stacked block leaf additionally gets the Megatron column/row sharding
+    from ``tensor._RULES`` on its trailing dims — e.g. the stacked qkv
+    kernel ``(depth, D, 3D)`` becomes ``P("pipe", None, "model")`` — so a
+    3-D dp x pp x tp mesh shards every block weight along BOTH the depth
+    and the model dimension."""
+    from rovit_kan_tpu.parallel.tensor import _spec_for_path
+
     def spec(path, _):
         names = tuple(getattr(k, "key", getattr(k, "name", str(k)))
                       for k in path)
         if names[:2] == ("backbone", "blocks"):
-            return P(PIPE_AXIS)
+            inner = _spec_for_path(path) if tp else P()
+            return P(PIPE_AXIS, *inner)
         return P()
 
     return jax.tree_util.tree_map_with_path(spec, split)
@@ -124,7 +146,8 @@ def pipeline_param_specs(split: Dict[str, Any]) -> Any:
 def shard_pipeline_params(split: Dict[str, Any], mesh: Mesh
                           ) -> Dict[str, Any]:
     from rovit_kan_tpu.parallel.tensor import shard_params
-    return shard_params(split, mesh, pipeline_param_specs(split))
+    tp = MODEL_AXIS in mesh.axis_names
+    return shard_params(split, mesh, pipeline_param_specs(split, tp=tp))
 
 
 def map_param_subtrees(tree: Any, template_params: Any, fn) -> Any:
@@ -248,10 +271,17 @@ def pipeline_blocks(tokens: jnp.ndarray, stacked: Dict[str, Any],
             PIPE_AXIS).astype(x.dtype)
         return out.reshape(B_loc, N, D)
 
+    # Partial-manual shard_map: "data" and "pipe" are manual (the schedule
+    # indexes stages and ppermutes activations itself); any OTHER mesh axis
+    # — notably "model" on a 3-D dp x pp x tp mesh — stays auto, so GSPMD
+    # runs Megatron tensor parallelism *inside* each pipeline stage from
+    # the param shardings alone (qkv/fc1 column, proj/fc2 row, one psum
+    # per block riding the innermost-axis ICI).
     fn = jax.shard_map(
         run, mesh=mesh,
         in_specs=(P(DATA_AXIS), P(PIPE_AXIS)),
         out_specs=P(DATA_AXIS),
+        axis_names={DATA_AXIS, PIPE_AXIS},
         check_vma=False,
     )
     # jit here (inlined when already under an outer jit) — remat's

@@ -241,8 +241,10 @@ class Trainer:
         self.pipelined = is_pipeline_mesh(self.mesh)
         if self.pipelined and param_specs is not None:
             raise ValueError("pipeline mesh and tensor-parallel param_specs "
-                             "are mutually exclusive (use a 3-D mesh + "
-                             "custom specs if you need both)")
+                             "are mutually exclusive: for dp x pp x tp give "
+                             "the mesh a 'model' axis (make_pipeline_mesh("
+                             "model=...)) and the trainer derives the "
+                             "combined specs itself")
         forward_fn = None
         if self.pipelined:
             from rovit_kan_tpu.parallel.pipeline import pipelined_forward
@@ -318,10 +320,12 @@ class Trainer:
             from rovit_kan_tpu.parallel.tensor import shard_state
             return shard_state(state, self.mesh, self.param_specs)
         if self.pipelined:
-            from rovit_kan_tpu.parallel.pipeline import pipeline_param_specs
+            from rovit_kan_tpu.parallel.pipeline import (
+                MODEL_AXIS, pipeline_param_specs)
             from rovit_kan_tpu.parallel.tensor import shard_state
+            tp = MODEL_AXIS in self.mesh.axis_names
             return shard_state(state, self.mesh,
-                               pipeline_param_specs(state.params))
+                               pipeline_param_specs(state.params, tp=tp))
         return replicate(state, self.mesh)
 
     def _epoch_knobs(self, epoch: int):

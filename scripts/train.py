@@ -174,9 +174,20 @@ def main():
 
         param_specs = None
         if args.tensor_parallel > 1 and args.pipeline_parallel > 1:
-            raise SystemExit("--tensor_parallel and --pipeline_parallel "
-                             "are mutually exclusive")
-        if args.tensor_parallel > 1:
+            # 3-D dp x pp x tp mesh: the Trainer derives the combined
+            # specs (blocks P("pipe", <Megatron rule>)) itself.
+            from rovit_kan_tpu.parallel.pipeline import make_pipeline_mesh
+            n = args.tensor_parallel * args.pipeline_parallel
+            data_ax = -1 if args.devices == -1 else args.devices // n
+            mesh = make_pipeline_mesh(data_ax, args.pipeline_parallel,
+                                      model=args.tensor_parallel)
+            if args.pipeline_microbatches:
+                cfg.tpu.pipeline_microbatches = args.pipeline_microbatches
+            print(f"Mesh: data={mesh.devices.shape[0]} x "
+                  f"pipe={mesh.devices.shape[1]} x "
+                  f"model={mesh.devices.shape[2]} (pipeline + tensor "
+                  f"parallel, {cfg.tpu.pipeline_microbatches} microbatches)")
+        elif args.tensor_parallel > 1:
             from rovit_kan_tpu.parallel.tensor import make_2d_mesh
             # --devices counts TOTAL devices; the data axis is the rest.
             data_ax = (-1 if args.devices == -1

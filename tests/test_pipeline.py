@@ -307,3 +307,98 @@ def test_trainer_pipelined_scanned_epoch_fit(tmp_path):
     # The best-model checkpoint written during fit is canonical.
     ck = tr_pp.load_checkpoint()
     assert "blocks_0" in ck["params"]["backbone"]
+
+
+# --- 3-D mesh: dp x pp x tp ----------------------------------------------
+
+def test_pipeline_3d_forward_matches_sequential(setup):
+    """dp=2 x pp=2 x tp=2: blocks sharded over BOTH depth ("pipe") and the
+    Megatron model dim ("model", GSPMD-auto inside the partial-manual
+    shard_map); output must still match the plain sequential forward."""
+    model, params, x = setup
+    mesh = make_pipeline_mesh(data=2, pipe=2, model=2)
+    assert mesh.axis_names == ("data", "pipe", "model")
+    split = shard_pipeline_params(split_params(params), mesh)
+    qkv = split["backbone"]["blocks"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == ("pipe", None, "model")
+    fc2 = split["backbone"]["blocks"]["mlp"]["fc2"]["kernel"]
+    assert fc2.sharding.spec == ("pipe", "model", None)
+
+    got = jax.jit(lambda s, xx: pipelined_forward(
+        model, s, xx, mesh, n_micro=2))(split, x)
+    want = model.apply({"params": params}, x, deterministic=True)
+    for k in ("features", "cls_logits", "ordinal_logits", "mu",
+              "log_var", "kan_severity"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   atol=2e-4, rtol=1e-3, err_msg=k)
+
+
+def test_pipeline_3d_grad_matches_sequential(setup):
+    model, params, x = setup
+    mesh = make_pipeline_mesh(data=2, pipe=2, model=2)
+    labels = jnp.arange(8) % 4
+
+    def loss_pipe(split, xx):
+        out = pipelined_forward(model, split, xx, mesh, n_micro=2)
+        return jnp.mean(
+            optax.softmax_cross_entropy_with_integer_labels(
+                out["cls_logits"], labels)) + jnp.mean(out["kan_severity"])
+
+    def loss_plain(p, xx):
+        out = model.apply({"params": p}, xx, deterministic=True)
+        return jnp.mean(
+            optax.softmax_cross_entropy_with_integer_labels(
+                out["cls_logits"], labels)) + jnp.mean(out["kan_severity"])
+
+    split = shard_pipeline_params(split_params(params), mesh)
+    g_pipe = merge_params(jax.jit(jax.grad(loss_pipe))(split, x))
+    g_plain = jax.grad(loss_plain)(params, x)
+    flat_pipe = jax.tree_util.tree_leaves_with_path(g_pipe)
+    flat_plain = jax.tree.leaves(g_plain)
+    for (path, a), b in zip(flat_pipe, flat_plain):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_trainer_3d_step_matches_plain():
+    """Full Trainer step (augment + mixup + joint loss + EMA-less AdamW)
+    on the 3-D mesh: param AND Adam-moment leaves sharded over pipe+model,
+    losses matching the plain 1-device Trainer step-for-step."""
+    from rovit_kan_tpu.parallel.mesh import make_mesh, shard_batch
+    from rovit_kan_tpu.training.trainer import Trainer
+
+    cfg, tr_pipe, tr_plain = _trainer_pair()
+    mesh3 = make_pipeline_mesh(data=2, pipe=2, model=2)
+    tr_3d = Trainer(tr_pipe.model, None, None, cfg, mesh=mesh3, seed=0)
+    assert tr_3d.pipelined
+
+    s_3d = tr_3d.init_state()
+    s_plain = tr_plain.init_state()
+    qkv = s_3d.params["backbone"]["blocks"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == ("pipe", None, "model")
+    # Adam moments carry the combined sharding too.
+    from jax.tree_util import tree_flatten_with_path
+    mus = [leaf for path, leaf in tree_flatten_with_path(s_3d.opt_state)[0]
+           if ".mu" in jax.tree_util.keystr(path)
+           and "qkv" in jax.tree_util.keystr(path)
+           and "kernel" in jax.tree_util.keystr(path)]
+    assert mus and all(m.sharding.spec == ("pipe", None, "model")
+                       for m in mus)
+
+    args = (jnp.int32(4), jnp.float32(1.0), jnp.float32(1.0))
+    for i in range(2):
+        b = _batch(i)
+        s_3d, m_3d = tr_3d.train_step(
+            s_3d, shard_batch(b, mesh3), *args)
+        s_plain, m_plain = tr_plain.train_step(
+            s_plain, shard_batch(b, tr_plain.mesh), *args)
+        np.testing.assert_allclose(float(m_3d["total_loss"]),
+                                   float(m_plain["total_loss"]),
+                                   rtol=2e-3, atol=2e-3)
+    merged = merge_params(s_3d.params)
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(merged),
+                            jax.tree.leaves(s_plain.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3,
+            err_msg=jax.tree_util.keystr(path))
