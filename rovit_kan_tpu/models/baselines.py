@@ -241,11 +241,13 @@ class DeiTTinyClassifier(nn.Module):
     """Vanilla DeiT-Tiny classifier (the reference's strongest baseline)."""
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    use_fused_block: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         return VisionTransformer(image_size=x.shape[1], dtype=self.dtype,
                                  use_pallas=self.use_pallas,
+                                 use_fused_block=self.use_fused_block,
                                  name="vit")(x)["features"]   # (B, 192)
 
 
@@ -264,12 +266,18 @@ class BaselineModel(nn.Module):
     backbone_name: str = "deit_tiny"
     num_classes: int = 4
     dtype: Any = jnp.float32
+    # Whole-block fused Pallas kernel (transformer backbones only; the
+    # param tree is identical either way, so serving can flip it on a
+    # trained fp32 checkpoint — same policy as the flagship).
+    use_fused_block: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, **_ignored):
         B = x.shape[0]
+        kw = ({"use_fused_block": self.use_fused_block}
+              if self.backbone_name == "deit_tiny" else {})
         backbone = BACKBONES[self.backbone_name](dtype=self.dtype,
-                                                 name="backbone")
+                                                 name="backbone", **kw)
         feats = backbone(x, train=not deterministic)
         logits = nn.Dense(self.num_classes, name="classifier")(
             feats.astype(jnp.float32))

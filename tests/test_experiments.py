@@ -128,3 +128,57 @@ def test_baseline_harness_survives_failure(loaders):
     exp.run_all()
     assert "deit_tiny" in exp.results
     assert "nonexistent_model" not in exp.results
+
+
+def test_deit_baseline_fused_block_same_param_tree():
+    """The bf16 + fused-block serving twin of the DeiT-Tiny baseline must
+    apply a checkpoint trained by the plain fp32 build unchanged (the
+    _*Params declarers mirror the flax submodule paths), and the two
+    builds must agree numerically in fp32."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rovit_kan_tpu.models.baselines import BaselineModel
+
+    plain = BaselineModel(backbone_name="deit_tiny", num_classes=4)
+    fused = BaselineModel(backbone_name="deit_tiny", num_classes=4,
+                          use_fused_block=True)       # fp32: exact compare
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    v_plain = plain.init(jax.random.PRNGKey(1), x)
+    v_fused = fused.init(jax.random.PRNGKey(1), x)
+    assert (jax.tree_util.tree_structure(v_plain)
+            == jax.tree_util.tree_structure(v_fused))
+    for a, b in zip(jax.tree.leaves(v_plain), jax.tree.leaves(v_fused)):
+        assert a.shape == b.shape
+
+    out_p = plain.apply(v_plain, x, deterministic=True)
+    out_f = fused.apply(v_plain, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_f["cls_logits"]),
+                               np.asarray(out_p["cls_logits"]),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_baseline_fps_step_policy(loaders):
+    """_fps_step returns a runnable jitted step; off-TPU the policy keeps
+    the plain eval build (fused gate requires a TPU backend)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rovit_kan_tpu.config import get_config
+    from rovit_kan_tpu.experiments.baselines import BaselineExperiment
+    from rovit_kan_tpu.models.baselines import BaselineModel
+
+    cfg, _, train_l, val_l, test_l = loaders
+    cfg = get_config()
+    cfg.data.image_size = 32
+    exp = BaselineExperiment(cfg, train_l, val_l, test_l, "/tmp/unused",
+                             epochs=1, run_fps=False)
+    model = BaselineModel(backbone_name="deit_tiny", num_classes=4)
+    import jax
+    variables = dict(model.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 32, 32, 3))))
+    step = exp._fps_step("deit_tiny", model)
+    out = step(variables, {"images": np.zeros((1, 32, 32, 3), np.uint8)})
+    assert out["probs"].shape == (1, 4)
+    assert np.allclose(np.asarray(out["probs"]).sum(-1), 1.0, atol=1e-5)
