@@ -166,29 +166,25 @@ class BaselineExperiment:
         }
         if self.run_fps:
             dummy = np.zeros((1, size, size, 3), np.uint8)
-            fps_step = self._fps_step(name, model)
+            fps_step = self._fps_step(name, model) or eval_step
             result["fps"] = float(M.fps_benchmark(
                 lambda x: fps_step(variables, {"images": x}), dummy))
         return result
 
     def _fps_step(self, name: str, model):
-        """Inference step for the fps column: on TPU the deit_tiny
-        baseline gets the SAME serving build as the flagship — bf16
-        compute + whole-block fused Pallas kernel (the measured "auto"
-        policy, models/rovit_kan._resolve_pallas_block) on the identical
-        fp32 param tree. Other backbones (convnets — no block kernel)
-        and CPU runs measure the plain eval build."""
+        """Inference step for the fps column, or None to reuse the plain
+        eval step. On TPU the deit_tiny baseline gets the SAME serving
+        build as the flagship — bf16 compute + whole-block fused Pallas
+        kernel (the measured "auto" policy,
+        models/rovit_kan._resolve_pallas_block) on the identical fp32
+        param tree. Other backbones (convnets — no block kernel) and CPU
+        runs measure the plain eval build."""
         from rovit_kan_tpu.models.rovit_kan import _resolve_pallas_block
 
-        fused = (name == "deit_tiny"
-                 and _resolve_pallas_block("auto", inference=True,
-                                           dtype=jnp.bfloat16))
-        if not fused:
-            def eval_step(variables, batch):
-                out = model.apply(variables, eval_batch(batch["images"]),
-                                  deterministic=True)
-                return {"probs": jax.nn.softmax(out["cls_logits"], -1)}
-            return jax.jit(eval_step)
+        if not (name == "deit_tiny"
+                and _resolve_pallas_block("auto", inference=True,
+                                          dtype=jnp.bfloat16)):
+            return None
 
         infer = BaselineModel(backbone_name=name,
                               num_classes=model.num_classes,

@@ -72,6 +72,11 @@ def make_pipeline_mesh(data: int = -1, pipe: int = 2, model: int = 1,
         devices = jax.devices()
     if data == -1:
         data = len(devices) // (pipe * model)
+    if data < 1:
+        raise ValueError(
+            f"pipeline mesh needs at least pipe*model = {pipe * model} "
+            f"devices (data axis resolved to {data} from {len(devices)} "
+            f"device(s))")
     n = data * pipe * model
     if n > len(devices):
         raise ValueError(f"need {n} devices, have {len(devices)}")

@@ -56,6 +56,10 @@ def make_2d_mesh(data: int = -1, model: int = 1,
         devices = jax.devices()
     if data == -1:
         data = len(devices) // model
+    if data < 1:
+        raise ValueError(
+            f"2-D mesh needs at least model = {model} devices (data axis "
+            f"resolved to {data} from {len(devices)} device(s))")
     n = data * model
     if n > len(devices):
         raise ValueError(f"need {n} devices, have {len(devices)}")
@@ -86,10 +90,16 @@ def shard_params(params: Any, mesh: Mesh, specs: Any = None) -> Any:
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
 
     def put(x, spec):
-        for dim, axis in enumerate(spec):
-            if axis is not None and x.shape[dim] % axis_sizes[axis] != 0:
-                spec = P()
-                break
+        # Per-axis fallback: a dim that doesn't divide its mesh axis is
+        # nulled alone — the other dims keep their sharding (e.g. a 3-D
+        # P("pipe", None, "model") leaf whose model dim doesn't divide tp
+        # stays sharded over "pipe"; dropping that too would silently
+        # replicate all depth/S blocks onto every device).
+        if any(axis is not None and x.shape[dim] % axis_sizes[axis] != 0
+               for dim, axis in enumerate(spec)):
+            spec = P(*(None if (axis is not None
+                                and x.shape[dim] % axis_sizes[axis] != 0)
+                       else axis for dim, axis in enumerate(spec)))
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(put, params, specs,

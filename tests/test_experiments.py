@@ -160,8 +160,10 @@ def test_deit_baseline_fused_block_same_param_tree():
 
 
 def test_baseline_fps_step_policy(loaders):
-    """_fps_step returns a runnable jitted step; off-TPU the policy keeps
-    the plain eval build (fused gate requires a TPU backend)."""
+    """Off-TPU the fused-serving gate must NOT fire (_fps_step returns
+    None = reuse the plain eval step); the fused twin itself must be a
+    runnable step producing normalized probs."""
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -175,10 +177,17 @@ def test_baseline_fps_step_policy(loaders):
     exp = BaselineExperiment(cfg, train_l, val_l, test_l, "/tmp/unused",
                              epochs=1, run_fps=False)
     model = BaselineModel(backbone_name="deit_tiny", num_classes=4)
-    import jax
+    assert exp._fps_step("deit_tiny", model) is None   # CPU backend
+    assert exp._fps_step("resnet50", model) is None    # convnet: never
+
+    # The fused serving twin runs (interpret mode off-TPU) and normalizes.
     variables = dict(model.init(jax.random.PRNGKey(0),
                                 jnp.zeros((1, 32, 32, 3))))
-    step = exp._fps_step("deit_tiny", model)
-    out = step(variables, {"images": np.zeros((1, 32, 32, 3), np.uint8)})
-    assert out["probs"].shape == (1, 4)
-    assert np.allclose(np.asarray(out["probs"]).sum(-1), 1.0, atol=1e-5)
+    infer = BaselineModel(backbone_name="deit_tiny", num_classes=4,
+                          dtype=jnp.bfloat16, use_fused_block=True)
+    from rovit_kan_tpu.ops.preprocess import eval_batch
+    out = infer.apply(variables,
+                      eval_batch(np.zeros((1, 32, 32, 3), np.uint8)),
+                      deterministic=True)
+    probs = jax.nn.softmax(out["cls_logits"], -1)
+    assert np.allclose(np.asarray(probs).sum(-1), 1.0, atol=1e-2)

@@ -269,3 +269,34 @@ def test_tp_non_divisible_falls_back_replicated():
     out = shard_params(tree, mesh, specs)
     assert out["a"]["kernel"].sharding.is_fully_replicated
     assert not out["b"].sharding.is_fully_replicated
+
+
+def test_shard_params_per_axis_divisibility_fallback():
+    """A dim that doesn't divide its mesh axis is nulled ALONE — the
+    other dims keep their sharding (a 3-D P('pipe', None, 'model') leaf
+    whose model dim doesn't divide tp must stay sharded over 'pipe')."""
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from rovit_kan_tpu.parallel.tensor import shard_params
+
+    devs = jax.devices()
+    mesh = Mesh(np.asarray(devs[:8]).reshape(2, 2, 2),
+                ("data", "pipe", "model"))
+    # Leading dim 4 divides pipe=2; trailing dim 90 does NOT divide
+    # model=2... (90 % 2 == 0, pick 91) -> use 91.
+    leaf = jnp.zeros((4, 16, 91))
+    out = shard_params({"w": leaf}, mesh,
+                       {"w": P("pipe", None, "model")})
+    spec = out["w"].sharding.spec
+    assert spec[0] == "pipe" and spec[1] is None and spec[2] is None
+
+
+def test_make_pipeline_mesh_too_few_devices_raises():
+    from rovit_kan_tpu.parallel.pipeline import make_pipeline_mesh
+    from rovit_kan_tpu.parallel.tensor import make_2d_mesh
+
+    with pytest.raises(ValueError, match="at least"):
+        make_pipeline_mesh(data=-1, pipe=4, model=4)   # 16 > 8 devices
+    with pytest.raises(ValueError, match="at least"):
+        make_2d_mesh(data=-1, model=16)
