@@ -393,10 +393,13 @@ def _bwd_chunk_images(B: int, n_pad: int, D: int, itemsize: int) -> int:
     (forward recompute + cotangent chain + fp32 (rows, 4D) MLP temps), so
     the chunk is smaller — C=1 at DeiT-Tiny shapes.
 
-    C=1 is also the measured HARD ceiling there: Mosaic's scoped-VMEM
-    stack limit is 16 MB on v5e, and C=2 (via ROVIT_BLOCK_BWD_BUDGET_MB=20)
-    fails compilation needing 16.78 MB; the limit flag can't be raised
-    through this stack. At d=768 even C=1 needs ~27 MB — which is why the
+    The VMEM ceiling sits just above C=1 there: Mosaic's scoped-VMEM
+    stack limit is 16 MB on v5e, and the C=4 kernel (selected by
+    ROVIT_BLOCK_BWD_BUDGET_MB=20 at bs64/197 tokens) fails compilation
+    needing 16.78 MB; the limit flag can't be raised through this
+    stack. C=2 (budget 12 under this sizer) is the one untested point
+    between the working C=1 and the failing C=4. At d=768 even
+    C=1 needs ~27 MB — which is why the
     "auto" policy gates the fused kernel off for TRAINING at d>512
     (models/rovit_kan.py). The 10 MB planning default leaves the right
     headroom — don't raise it."""

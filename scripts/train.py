@@ -173,6 +173,13 @@ def main():
         cfg.loss.focal_alpha = focal_alpha.tolist()
 
         param_specs = None
+        model_axes = args.tensor_parallel * args.pipeline_parallel
+        if args.devices != -1 and args.devices % model_axes != 0:
+            # The floor-divides below would silently idle the remainder.
+            raise SystemExit(
+                f"--devices {args.devices} is not divisible by "
+                f"pipeline_parallel*tensor_parallel = {model_axes}; "
+                f"{args.devices % model_axes} device(s) would sit idle")
         if args.tensor_parallel > 1 and args.pipeline_parallel > 1:
             # 3-D dp x pp x tp mesh: the Trainer derives the combined
             # specs (blocks P("pipe", <Megatron rule>)) itself.
