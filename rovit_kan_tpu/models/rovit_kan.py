@@ -60,6 +60,10 @@ class RoViTKAN(nn.Module):
     use_pallas_kan: bool = False
     use_pallas_block: bool = False    # whole-block fused kernel
     remat: bool = False
+    # Sequence-parallel activation sharding for the backbone residual
+    # stream (see models/vit.py::VisionTransformer.act_sharding and
+    # parallel/tensor.py::seq_sharding). None = no constraint.
+    act_sharding: Any = None
 
     @nn.compact
     def __call__(
@@ -76,7 +80,8 @@ class RoViTKAN(nn.Module):
             num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
             dtype=self.dtype, use_pallas=self.use_pallas_attention,
             use_fused_block=self.use_pallas_block,
-            remat=self.remat, name="backbone",
+            remat=self.remat, act_sharding=self.act_sharding,
+            name="backbone",
         )(x, return_attention=return_attention,
           gradcam_perturbation=gradcam_perturbation)
         feats = bb["features"]                        # (B, 192) fp32
@@ -175,7 +180,8 @@ def build_model(config: Config, *, with_ordinal: Optional[bool] = None,
                 with_uncertainty: Optional[bool] = None,
                 with_kan: Optional[bool] = None,
                 dtype: Optional[Any] = None,
-                inference: bool = False) -> RoViTKAN:
+                inference: bool = False,
+                act_sharding: Optional[Any] = None) -> RoViTKAN:
     """Construct RoViTKAN from a Config (reference models/rovit_kan.py:10-38
     accepts a Config the same way). Head toggles default to the config's
     ``model.with_*`` fields (persisted in checkpoints), so ablation-variant
@@ -209,6 +215,7 @@ def build_model(config: Config, *, with_ordinal: Optional[bool] = None,
             getattr(config.tpu, "use_pallas_block", "auto"),
             inference=inference, dtype=dtype, embed_dim=m.embed_dim),
         remat=config.tpu.remat_backbone,
+        act_sharding=act_sharding,
     )
 
 

@@ -66,7 +66,8 @@ class Attention(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, return_weights: bool = False):
+    def __call__(self, x: jnp.ndarray, return_weights: bool = False,
+                 n_valid: Optional[int] = None):
         B, N, D = x.shape
         h = self.num_heads
         hd = D // h
@@ -76,12 +77,19 @@ class Attention(nn.Module):
         q, k, v = qkv[0], qkv[1], qkv[2]             # (B, h, N, hd)
         scale = hd ** -0.5
 
-        if self.use_pallas and not return_weights:
+        if self.use_pallas and not return_weights and n_valid is None:
             out = fused_attention(q * scale, k, v)   # (B, h, N, hd)
             attn_weights = None
         else:
             logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
                                 preferred_element_type=jnp.float32)
+            if n_valid is not None and n_valid < N:
+                # Sequence-parallel padding: tokens >= n_valid are layout
+                # filler — mask them out of every softmax so real-token
+                # outputs are bit-for-bit independent of the pad.
+                kmask = jnp.arange(N) < n_valid
+                logits = jnp.where(kmask[None, None, None, :], logits,
+                                   jnp.asarray(-1e9, logits.dtype))
             attn_weights = jax.nn.softmax(logits, axis=-1)
             out = jnp.einsum("bhqk,bhkd->bhqd",
                              attn_weights.astype(v.dtype), v,
@@ -174,9 +182,10 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, return_weights: bool = False,
-                 norm1_perturbation: Optional[jnp.ndarray] = None):
+                 norm1_perturbation: Optional[jnp.ndarray] = None,
+                 n_valid: Optional[int] = None):
         if self.use_fused_block and not return_weights \
-                and norm1_perturbation is None:
+                and norm1_perturbation is None and n_valid is None:
             from rovit_kan_tpu.ops.block_kernel import fused_vit_block
             ln1s, ln1b = _LNParams(self.dim, name="norm1")()
             (wqkv, bqkv), (wproj, bproj) = _AttnParams(
@@ -204,7 +213,7 @@ class Block(nn.Module):
         attn_out, attn_w = Attention(self.dim, self.num_heads,
                                      dtype=self.dtype,
                                      use_pallas=self.use_pallas,
-                                     name="attn")(y, return_weights)
+                                     name="attn")(y, return_weights, n_valid)
         x = x + attn_out
         z = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                          param_dtype=jnp.float32, name="norm2")(x)
@@ -229,6 +238,18 @@ class VisionTransformer(nn.Module):
     # of FLOPs for O(depth) less activation HBM — enables very large batch
     # training. Off by default (the 5.7M model never needs it at bs<=1024).
     remat: bool = False
+    # Sequence parallelism (Megatron-style, via GSPMD): a NamedSharding for
+    # the (B, N, D) residual stream — typically P(None, "model", None) from
+    # parallel.tensor.seq_sharding — applied at every block boundary. XLA's
+    # sharding propagation then keeps LayerNorms/residual adds token-sharded
+    # over the tensor-parallel axis and replaces the two TP all-reduces per
+    # block with reduce-scatter + all-gather pairs (same bytes on ICI, but
+    # the LN/elementwise work and the residual-stream activations shard
+    # S-ways instead of being replicated). A token count that does not
+    # divide the axis (197 is prime) is zero-padded with attention-masked
+    # filler tokens — real-token math is exact. Forces the pure-XLA
+    # block path: a Pallas kernel cannot be partitioned over "model".
+    act_sharding: Any = None
 
     @nn.compact
     def __call__(
@@ -264,6 +285,27 @@ class VisionTransformer(nn.Module):
         cls = jnp.broadcast_to(cls_token, (B, 1, self.embed_dim)).astype(x.dtype)
         x = jnp.concatenate([cls, x], axis=1)
         x = x + pos_embed.astype(x.dtype)
+        n_valid = None
+        if self.act_sharding is not None:
+            # Sharding constraints require the token dim to DIVIDE the mesh
+            # axis (GSPMD does not pad annotations; 197 tokens is prime), so
+            # pad the stream with filler tokens and mask them out of every
+            # attention softmax — real-token math is exact, and the filler
+            # rows are sliced off below before the heads ever see them.
+            spec_ax = self.act_sharding.spec[1]
+            names = ((spec_ax,) if isinstance(spec_ax, str)
+                     else tuple(spec_ax or ()))
+            sp = 1
+            for a in names:
+                sp *= self.act_sharding.mesh.shape[a]
+            pad = (-x.shape[1]) % sp
+            if pad:
+                n_valid = x.shape[1]
+                x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+                if gradcam_perturbation is not None:
+                    gradcam_perturbation = jnp.pad(
+                        gradcam_perturbation, ((0, 0), (0, pad), (0, 0)))
+            x = jax.lax.with_sharding_constraint(x, self.act_sharding)
 
         attn_maps = []
         norm1_tap = None
@@ -272,22 +314,36 @@ class VisionTransformer(nn.Module):
         block_cls = Block
         if self.remat and not return_attention \
                 and gradcam_perturbation is None:
-            block_cls = nn.remat(Block, static_argnums=(2,))
+            # static_argnums counts self as 0: 2 = return_weights (a Python
+            # bool), 4 = n_valid (a Python int or None).
+            block_cls = nn.remat(Block, static_argnums=(2, 4))
         for i in range(self.depth):
             perturb = gradcam_perturbation if i == self.depth - 1 else None
             x, attn_w, norm1_out = block_cls(
                 self.embed_dim, self.num_heads, self.mlp_ratio,
                 dtype=self.dtype,
-                use_pallas=self.use_pallas and not return_attention,
+                use_pallas=(self.use_pallas and not return_attention
+                            and self.act_sharding is None),
                 use_fused_block=(self.use_fused_block
-                                 and not return_attention),
+                                 and not return_attention
+                                 and self.act_sharding is None),
                 name=f"blocks_{i}",
-            )(x, return_attention, perturb)
+            )(x, return_attention, perturb, n_valid)
+            if self.act_sharding is not None:
+                x = jax.lax.with_sharding_constraint(x, self.act_sharding)
             if return_attention:
                 attn_maps.append(attn_w)
             if i == self.depth - 1:
                 norm1_tap = norm1_out
 
+        if n_valid is not None:
+            # Drop the sequence-parallel filler tokens (their attention
+            # columns were masked, so real rows never depended on them).
+            x = x[:, :n_valid]
+            if norm1_tap is not None:
+                norm1_tap = norm1_tap[:, :n_valid]
+            if return_attention:
+                attn_maps = [a[:, :, :n_valid, :n_valid] for a in attn_maps]
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                          param_dtype=jnp.float32, name="norm")(x)
         out: Dict[str, jnp.ndarray] = {"features": x[:, 0].astype(jnp.float32)}

@@ -67,6 +67,26 @@ def make_2d_mesh(data: int = -1, model: int = 1,
                 ("data", "model"))
 
 
+def seq_sharding(mesh: Mesh, axis: str = "model") -> NamedSharding:
+    """Sequence-parallel activation sharding for the (B, N, D) residual
+    stream: tokens sharded over the tensor-parallel ``axis``.
+
+    Megatron-style sequence parallelism, the GSPMD way: instead of manual
+    reduce-scatter/all-gather calls, the residual stream is *annotated*
+    P(None, axis, None) at every block boundary
+    (models/vit.py::VisionTransformer.act_sharding) and XLA's propagation
+    does the rest — LayerNorms, residual adds and dropout run token-sharded
+    (1/S of the elementwise work and activation bytes per device), and each
+    block's two TP all-reduces become reduce-scatter + all-gather pairs
+    (identical ICI bytes: an all-reduce IS an RS+AG). Batch stays
+    unconstrained so the same annotation composes with dp on a
+    ("data", "model") mesh. Sharding annotations require divisibility, so
+    a token count that does not divide the axis (197 is prime) is padded
+    inside the model with attention-masked filler tokens (models/vit.py).
+    """
+    return NamedSharding(mesh, P(None, axis, None))
+
+
 def _spec_for_path(path) -> P:
     names = tuple(getattr(k, "key", getattr(k, "name", str(k)))
                   for k in path)

@@ -51,6 +51,12 @@ def main():
                         "shards attention+MLP weights Megatron-style "
                         "(parallel/tensor.py). Total devices = "
                         "data x model")
+    p.add_argument("--sequence_parallel", action="store_true",
+                   help="with --tensor_parallel: also shard the residual "
+                        "stream's token dim over the model axis (Megatron "
+                        "SP via GSPMD; parallel/tensor.py::seq_sharding) — "
+                        "LN/residual work and activations shard S-ways, "
+                        "all-reduces become reduce-scatter + all-gather")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (TPU pods auto-detect; "
@@ -223,7 +229,22 @@ def main():
             print(f"Device cache: {train_l.nbytes / 1e6:.0f} MB train "
                   f"split resident in HBM (replicated over "
                   f"{mesh.devices.size} device(s))")
-        model = build_model(cfg)
+        act_sharding = None
+        if args.sequence_parallel:
+            if args.tensor_parallel <= 1:
+                raise SystemExit("--sequence_parallel requires "
+                                 "--tensor_parallel > 1 (it shards over "
+                                 "the model axis)")
+            if args.pipeline_parallel > 1:
+                raise SystemExit("--sequence_parallel composes with the "
+                                 "GSPMD tensor-parallel path only; the "
+                                 "pipeline stages run inside shard_map "
+                                 "where sharding constraints don't apply")
+            from rovit_kan_tpu.parallel.tensor import seq_sharding
+            act_sharding = seq_sharding(mesh)
+            print("Sequence parallel: residual stream tokens sharded "
+                  f"over model={mesh.devices.shape[-1]}")
+        model = build_model(cfg, act_sharding=act_sharding)
         logger = ExperimentLogger(cfg.paths.logs_dir, "train")
         specs = None
         if param_specs:

@@ -259,6 +259,93 @@ def test_flagship_on_mesh_dp_and_dpxtp():
     run(tp=2)
 
 
+def test_sp_step_matches_single_device():
+    """Sequence parallelism (act_sharding = tokens over 'model') on a
+    (data=4, model=2) mesh: same losses/params as the 1-device baseline.
+    The toy's 5 tokens don't divide tp=2, so this also exercises the
+    masked-filler-token padding path (models/vit.py)."""
+    from rovit_kan_tpu.parallel.tensor import (
+        make_2d_mesh, param_specs, seq_sharding)
+
+    batch = _batch()
+    cfg, model, mesh1, tr1 = _setup(1)
+    s1 = tr1.init_state()
+    s1, m1 = tr1.train_step(s1, shard_batch(batch, mesh1), jnp.int32(4),
+                            jnp.float32(1.0), jnp.float32(0.0))
+
+    cfg, base_model, _, _ = _setup(1)
+    mesh = make_2d_mesh(4, 2)
+    sp_model = RoViTKAN(embed_dim=32, depth=1, num_heads=2, image_size=32,
+                        patch_size=16, kan_layers=(32, 8, 1), hidden_dim=16,
+                        use_pallas_attention=False, use_pallas_kan=False,
+                        act_sharding=seq_sharding(mesh))
+    tr = Trainer(sp_model, None, None, cfg, mesh=mesh, seed=0,
+                 param_specs=True)
+    tr.param_specs = param_specs(tr._init_params(jax.random.PRNGKey(0)))
+    s = tr.init_state()
+    s, m = tr.train_step(s, shard_batch(batch, mesh), jnp.int32(4),
+                         jnp.float32(1.0), jnp.float32(0.0))
+    assert float(m1["total_loss"]) == pytest.approx(
+        float(m["total_loss"]), rel=1e-5)
+    p1 = np.asarray(jax.tree.leaves(s1.params)[0])
+    p = np.asarray(jax.tree.leaves(s.params)[0])
+    np.testing.assert_allclose(p1, p, atol=2e-6)
+
+
+def test_sp_eval_matches_no_sp():
+    """Forward parity: the SP-annotated model applied with the SAME params
+    must produce bit-comparable logits to the unannotated one (the
+    constraint is a layout hint, not a math change)."""
+    from rovit_kan_tpu.parallel.tensor import make_2d_mesh, seq_sharding
+
+    cfg, model, _, _ = _setup(1)
+    mesh = make_2d_mesh(4, 2)
+    sp_model = RoViTKAN(embed_dim=32, depth=1, num_heads=2, image_size=32,
+                        patch_size=16, kan_layers=(32, 8, 1), hidden_dim=16,
+                        use_pallas_attention=False, use_pallas_kan=False,
+                        act_sharding=seq_sharding(mesh))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 32, 3)))["params"]
+    x = jnp.asarray(_batch()["images"], jnp.float32) / 255.0
+    ref = model.apply({"params": params}, x, deterministic=True)
+    sp = jax.jit(lambda p, x: sp_model.apply(
+        {"params": p}, x, deterministic=True))(replicate(params, mesh), x)
+    np.testing.assert_allclose(np.asarray(ref["cls_logits"]),
+                               np.asarray(sp["cls_logits"]),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_sp_composes_with_remat():
+    """SP's n_valid arg is static under nn.remat (static_argnums=(2, 4)):
+    a remat'd SP model must produce finite grads identical to non-remat."""
+    from rovit_kan_tpu.parallel.tensor import make_2d_mesh, seq_sharding
+
+    mesh = make_2d_mesh(4, 2)
+
+    def make(remat):
+        return RoViTKAN(embed_dim=32, depth=1, num_heads=2, image_size=32,
+                        patch_size=16, kan_layers=(32, 8, 1), hidden_dim=16,
+                        use_pallas_attention=False, use_pallas_kan=False,
+                        remat=remat, act_sharding=seq_sharding(mesh))
+
+    x = jnp.asarray(_batch(bs=8)["images"], jnp.float32) / 255.0
+    params = make(False).init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 32, 32, 3)))["params"]
+    params = replicate(params, mesh)
+
+    def loss(model):
+        def f(p):
+            out = model.apply({"params": p}, x, deterministic=True)
+            return jnp.sum(out["cls_logits"] ** 2)
+        return f
+
+    g_plain = jax.jit(jax.grad(loss(make(False))))(params)
+    g_remat = jax.jit(jax.grad(loss(make(True))))(params)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_tp_non_divisible_falls_back_replicated():
     from jax.sharding import PartitionSpec as P
     from rovit_kan_tpu.parallel.tensor import make_2d_mesh, shard_params
