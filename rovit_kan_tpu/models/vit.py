@@ -239,7 +239,8 @@ class VisionTransformer(nn.Module):
     # training. Off by default (the 5.7M model never needs it at bs<=1024).
     remat: bool = False
     # Sequence parallelism (Megatron-style, via GSPMD): a NamedSharding for
-    # the (B, N, D) residual stream — typically P(None, "model", None) from
+    # the (B, N, D) residual stream — typically P("data", "model", None)
+    # (batch over dp, tokens over tp; None would mean REPLICATED) from
     # parallel.tensor.seq_sharding — applied at every block boundary. XLA's
     # sharding propagation then keeps LayerNorms/residual adds token-sharded
     # over the tensor-parallel axis and replaces the two TP all-reduces per
@@ -286,6 +287,16 @@ class VisionTransformer(nn.Module):
         x = jnp.concatenate([cls, x], axis=1)
         x = x + pos_embed.astype(x.dtype)
         n_valid = None
+
+        def _constrain(t):
+            # Layout hint only — skip outside a trace: eager
+            # with_sharding_constraint is a device_put onto the global mesh,
+            # which fails during model.init on a multi-host mesh whose
+            # devices are mostly non-addressable (and buys nothing eagerly).
+            if isinstance(t, jax.core.Tracer):
+                return jax.lax.with_sharding_constraint(t, self.act_sharding)
+            return t
+
         if self.act_sharding is not None:
             # Sharding constraints require the token dim to DIVIDE the mesh
             # axis (GSPMD does not pad annotations; 197 tokens is prime), so
@@ -305,7 +316,7 @@ class VisionTransformer(nn.Module):
                 if gradcam_perturbation is not None:
                     gradcam_perturbation = jnp.pad(
                         gradcam_perturbation, ((0, 0), (0, pad), (0, 0)))
-            x = jax.lax.with_sharding_constraint(x, self.act_sharding)
+            x = _constrain(x)
 
         attn_maps = []
         norm1_tap = None
@@ -330,7 +341,7 @@ class VisionTransformer(nn.Module):
                 name=f"blocks_{i}",
             )(x, return_attention, perturb, n_valid)
             if self.act_sharding is not None:
-                x = jax.lax.with_sharding_constraint(x, self.act_sharding)
+                x = _constrain(x)
             if return_attention:
                 attn_maps.append(attn_w)
             if i == self.depth - 1:

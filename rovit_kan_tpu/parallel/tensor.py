@@ -67,24 +67,30 @@ def make_2d_mesh(data: int = -1, model: int = 1,
                 ("data", "model"))
 
 
-def seq_sharding(mesh: Mesh, axis: str = "model") -> NamedSharding:
+def seq_sharding(mesh: Mesh, axis: str = "model",
+                 batch_axis: str = "data") -> NamedSharding:
     """Sequence-parallel activation sharding for the (B, N, D) residual
-    stream: tokens sharded over the tensor-parallel ``axis``.
+    stream: batch over ``batch_axis``, tokens over the tensor-parallel
+    ``axis``.
 
     Megatron-style sequence parallelism, the GSPMD way: instead of manual
     reduce-scatter/all-gather calls, the residual stream is *annotated*
-    P(None, axis, None) at every block boundary
+    P(batch_axis, axis, None) at every block boundary
     (models/vit.py::VisionTransformer.act_sharding) and XLA's propagation
     does the rest — LayerNorms, residual adds and dropout run token-sharded
     (1/S of the elementwise work and activation bytes per device), and each
     block's two TP all-reduces become reduce-scatter + all-gather pairs
-    (identical ICI bytes: an all-reduce IS an RS+AG). Batch stays
-    unconstrained so the same annotation composes with dp on a
-    ("data", "model") mesh. Sharding annotations require divisibility, so
-    a token count that does not divide the axis (197 is prime) is padded
-    inside the model with attention-masked filler tokens (models/vit.py).
+    (identical ICI bytes: an all-reduce IS an RS+AG). The batch dim must be
+    named explicitly: ``None`` in a NamedSharding spec means REPLICATED,
+    not unconstrained, so leaving it out would all-gather the batch over
+    the data axis at every block boundary — the inverse of SP's purpose.
+    ``batch_axis`` is dropped from the spec if the mesh lacks it (pure-TP
+    1-D mesh). Sharding annotations require divisibility, so a token count
+    that does not divide the axis (197 is prime) is padded inside the model
+    with attention-masked filler tokens (models/vit.py).
     """
-    return NamedSharding(mesh, P(None, axis, None))
+    b = batch_axis if batch_axis in mesh.shape else None
+    return NamedSharding(mesh, P(b, axis, None))
 
 
 def _spec_for_path(path) -> P:

@@ -84,6 +84,18 @@ def main():
                         "bit-faithful parity runs at ~1/3 the throughput)")
     args = p.parse_args()
 
+    # Fail fast, before dataset generation / dataloader construction.
+    if args.sequence_parallel:
+        if args.tensor_parallel <= 1:
+            raise SystemExit("--sequence_parallel requires "
+                             "--tensor_parallel > 1 (it shards over "
+                             "the model axis)")
+        if args.pipeline_parallel > 1:
+            raise SystemExit("--sequence_parallel composes with the "
+                             "GSPMD tensor-parallel path only; the "
+                             "pipeline stages run inside shard_map "
+                             "where sharding constraints don't apply")
+
     import jax
     from rovit_kan_tpu.utils.compilation_cache import (
         enable_compilation_cache)
@@ -230,16 +242,7 @@ def main():
                   f"split resident in HBM (replicated over "
                   f"{mesh.devices.size} device(s))")
         act_sharding = None
-        if args.sequence_parallel:
-            if args.tensor_parallel <= 1:
-                raise SystemExit("--sequence_parallel requires "
-                                 "--tensor_parallel > 1 (it shards over "
-                                 "the model axis)")
-            if args.pipeline_parallel > 1:
-                raise SystemExit("--sequence_parallel composes with the "
-                                 "GSPMD tensor-parallel path only; the "
-                                 "pipeline stages run inside shard_map "
-                                 "where sharding constraints don't apply")
+        if args.sequence_parallel:   # prereqs validated at parse time
             from rovit_kan_tpu.parallel.tensor import seq_sharding
             act_sharding = seq_sharding(mesh)
             print("Sequence parallel: residual stream tokens sharded "
