@@ -101,6 +101,13 @@ class ModelConfig:
     # models/convert.py). None -> random init (pretrained flag is then moot,
     # since this environment has no network egress to fetch timm weights).
     pretrained_npz: Optional[Path] = None
+    # Opt-in Mixture-of-Experts FFN (models/moe.py, expert-choice routing):
+    # moe_experts > 1 turns every moe_every-th backbone block sparse. The
+    # flagship is dense (0); these exist for the expert-parallel deployment
+    # story (parallel/tensor.py::make_moe_mesh / moe_param_specs).
+    moe_experts: int = 0
+    moe_every: int = 2
+    moe_capacity_factor: float = 2.0
 
 
 @dataclass

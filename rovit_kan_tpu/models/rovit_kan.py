@@ -64,6 +64,11 @@ class RoViTKAN(nn.Module):
     # stream (see models/vit.py::VisionTransformer.act_sharding and
     # parallel/tensor.py::seq_sharding). None = no constraint.
     act_sharding: Any = None
+    # Opt-in MoE FFN (models/moe.py): >1 turns every moe_every-th backbone
+    # block sparse; shard experts with parallel.tensor.moe_param_specs.
+    moe_experts: int = 0
+    moe_every: int = 2
+    moe_capacity_factor: float = 2.0
 
     @nn.compact
     def __call__(
@@ -81,6 +86,8 @@ class RoViTKAN(nn.Module):
             dtype=self.dtype, use_pallas=self.use_pallas_attention,
             use_fused_block=self.use_pallas_block,
             remat=self.remat, act_sharding=self.act_sharding,
+            moe_experts=self.moe_experts, moe_every=self.moe_every,
+            moe_capacity_factor=self.moe_capacity_factor,
             name="backbone",
         )(x, return_attention=return_attention,
           gradcam_perturbation=gradcam_perturbation)
@@ -216,6 +223,9 @@ def build_model(config: Config, *, with_ordinal: Optional[bool] = None,
             inference=inference, dtype=dtype, embed_dim=m.embed_dim),
         remat=config.tpu.remat_backbone,
         act_sharding=act_sharding,
+        moe_experts=getattr(m, "moe_experts", 0),
+        moe_every=getattr(m, "moe_every", 2),
+        moe_capacity_factor=getattr(m, "moe_capacity_factor", 2.0),
     )
 
 

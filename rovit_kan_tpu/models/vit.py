@@ -179,13 +179,18 @@ class Block(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False
     use_fused_block: bool = False
+    # >1 replaces the dense MLP with an expert-choice MoE FFN
+    # (models/moe.py) — opt-in, for the expert-parallel deployment story.
+    num_experts: int = 0
+    moe_capacity_factor: float = 2.0
 
     @nn.compact
     def __call__(self, x, return_weights: bool = False,
                  norm1_perturbation: Optional[jnp.ndarray] = None,
                  n_valid: Optional[int] = None):
         if self.use_fused_block and not return_weights \
-                and norm1_perturbation is None and n_valid is None:
+                and norm1_perturbation is None and n_valid is None \
+                and self.num_experts <= 1:
             from rovit_kan_tpu.ops.block_kernel import fused_vit_block
             ln1s, ln1b = _LNParams(self.dim, name="norm1")()
             (wqkv, bqkv), (wproj, bproj) = _AttnParams(
@@ -217,8 +222,16 @@ class Block(nn.Module):
         x = x + attn_out
         z = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                          param_dtype=jnp.float32, name="norm2")(x)
-        x = x + Mlp(self.dim, int(self.dim * self.mlp_ratio),
-                    dtype=self.dtype, name="mlp")(z.astype(self.dtype))
+        if self.num_experts > 1:
+            from rovit_kan_tpu.models.moe import MoEMlp
+            x = x + MoEMlp(self.dim, int(self.dim * self.mlp_ratio),
+                           num_experts=self.num_experts,
+                           capacity_factor=self.moe_capacity_factor,
+                           dtype=self.dtype,
+                           name="moe")(z.astype(self.dtype), n_valid)
+        else:
+            x = x + Mlp(self.dim, int(self.dim * self.mlp_ratio),
+                        dtype=self.dtype, name="mlp")(z.astype(self.dtype))
         return x, attn_w, norm1_out
 
 
@@ -251,6 +264,14 @@ class VisionTransformer(nn.Module):
     # filler tokens — real-token math is exact. Forces the pure-XLA
     # block path: a Pallas kernel cannot be partitioned over "model".
     act_sharding: Any = None
+    # Mixture-of-Experts (opt-in, models/moe.py): with moe_experts > 1,
+    # every ``moe_every``-th block replaces its dense MLP with an
+    # expert-choice MoE FFN (blocks moe_every-1, 2*moe_every-1, ...).
+    # Shard the stacked expert params over an "expert" mesh axis with
+    # parallel.tensor.moe_param_specs for expert parallelism.
+    moe_experts: int = 0
+    moe_every: int = 2
+    moe_capacity_factor: float = 2.0
 
     @nn.compact
     def __call__(
@@ -330,6 +351,8 @@ class VisionTransformer(nn.Module):
             block_cls = nn.remat(Block, static_argnums=(2, 4))
         for i in range(self.depth):
             perturb = gradcam_perturbation if i == self.depth - 1 else None
+            moe_here = (self.moe_experts > 1
+                        and (i + 1) % self.moe_every == 0)
             x, attn_w, norm1_out = block_cls(
                 self.embed_dim, self.num_heads, self.mlp_ratio,
                 dtype=self.dtype,
@@ -338,6 +361,8 @@ class VisionTransformer(nn.Module):
                 use_fused_block=(self.use_fused_block
                                  and not return_attention
                                  and self.act_sharding is None),
+                num_experts=self.moe_experts if moe_here else 0,
+                moe_capacity_factor=self.moe_capacity_factor,
                 name=f"blocks_{i}",
             )(x, return_attention, perturb, n_valid)
             if self.act_sharding is not None:

@@ -93,6 +93,41 @@ def seq_sharding(mesh: Mesh, axis: str = "model",
     return NamedSharding(mesh, P(b, axis, None))
 
 
+def make_moe_mesh(data: int = -1, expert: int = 1,
+                  devices: Optional[Sequence] = None) -> Mesh:
+    """Mesh with axes ``("data", "expert")`` for expert parallelism."""
+    if devices is None:
+        devices = jax.devices()
+    if data == -1:
+        data = len(devices) // expert
+    if data < 1:
+        raise ValueError(
+            f"MoE mesh needs at least expert = {expert} devices (data axis "
+            f"resolved to {data} from {len(devices)} device(s))")
+    n = data * expert
+    if n > len(devices):
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n]).reshape(data, expert),
+                ("data", "expert"))
+
+
+def moe_param_specs(params: Any, axis: str = "expert") -> Any:
+    """PartitionSpec pytree sharding the stacked MoE expert params
+    (``blocks_i/moe/{w1,b1,w2,b2}``, leading dim = experts — models/moe.py)
+    over ``axis``; the gate and all dense params stay replicated. Under a
+    ``("data", "expert")`` mesh GSPMD turns the dispatch/combine einsums
+    into all-to-alls over the expert axis — each device stores and runs
+    E/ep experts. Compose with ``shard_params`` / ``shard_state`` exactly
+    like the Megatron specs."""
+    def spec_for(path, leaf):
+        names = tuple(getattr(k, "key", getattr(k, "name", str(k)))
+                      for k in path)
+        if "moe" in names and names[-1] in ("w1", "w2", "b1", "b2"):
+            return P(*((axis,) + (None,) * (leaf.ndim - 1)))
+        return P()
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
 def _spec_for_path(path) -> P:
     names = tuple(getattr(k, "key", getattr(k, "name", str(k)))
                   for k in path)

@@ -57,6 +57,15 @@ def main():
                         "SP via GSPMD; parallel/tensor.py::seq_sharding) — "
                         "LN/residual work and activations shard S-ways, "
                         "all-reduces become reduce-scatter + all-gather")
+    p.add_argument("--moe_experts", type=int, default=0,
+                   help="turn every 2nd backbone block's FFN into an "
+                        "expert-choice MoE with N experts (models/moe.py; "
+                        "0 = dense flagship)")
+    p.add_argument("--expert_parallel", type=int, default=1,
+                   help="with --moe_experts: shard the stacked expert "
+                        "params over an 'expert' mesh axis "
+                        "(parallel/tensor.py::moe_param_specs). Total "
+                        "devices = data x expert")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (TPU pods auto-detect; "
@@ -95,6 +104,23 @@ def main():
                              "GSPMD tensor-parallel path only; the "
                              "pipeline stages run inside shard_map "
                              "where sharding constraints don't apply")
+    if args.expert_parallel > 1:
+        if args.moe_experts <= 1:
+            raise SystemExit("--expert_parallel requires --moe_experts > 1 "
+                             "(there must be experts to shard)")
+        if args.moe_experts % args.expert_parallel != 0:
+            raise SystemExit(f"--moe_experts {args.moe_experts} must be "
+                             f"divisible by --expert_parallel "
+                             f"{args.expert_parallel}")
+        if args.tensor_parallel > 1 or args.pipeline_parallel > 1:
+            raise SystemExit("--expert_parallel uses its own "
+                             "('data', 'expert') mesh and does not compose "
+                             "with --tensor_parallel/--pipeline_parallel")
+    if args.moe_experts > 1 and args.pipeline_parallel > 1:
+        raise SystemExit("--moe_experts does not compose with "
+                         "--pipeline_parallel: the GPipe stage scan "
+                         "requires identical per-block param structures "
+                         "(parallel/pipeline.py), and MoE blocks differ")
 
     import jax
     from rovit_kan_tpu.utils.compilation_cache import (
@@ -130,6 +156,8 @@ def main():
     config = get_config(args.preset)
     if args.pretrained_npz:
         config.model.pretrained_npz = args.pretrained_npz
+    if args.moe_experts > 1:
+        config.model.moe_experts = args.moe_experts
     config.paths.checkpoints_dir = args.output_dir / "checkpoints"
     config.paths.results_dir = args.output_dir / "results"
     config.paths.logs_dir = args.output_dir / "logs"
@@ -191,12 +219,13 @@ def main():
         cfg.loss.focal_alpha = focal_alpha.tolist()
 
         param_specs = None
-        model_axes = args.tensor_parallel * args.pipeline_parallel
+        model_axes = (args.tensor_parallel * args.pipeline_parallel
+                      * args.expert_parallel)
         if args.devices != -1 and args.devices % model_axes != 0:
             # The floor-divides below would silently idle the remainder.
             raise SystemExit(
                 f"--devices {args.devices} is not divisible by "
-                f"pipeline_parallel*tensor_parallel = {model_axes}; "
+                f"pipeline*tensor*expert parallel = {model_axes}; "
                 f"{args.devices % model_axes} device(s) would sit idle")
         if args.tensor_parallel > 1 and args.pipeline_parallel > 1:
             # 3-D dp x pp x tp mesh: the Trainer derives the combined
@@ -231,6 +260,15 @@ def main():
             print(f"Mesh: data={mesh.devices.shape[0]} x "
                   f"pipe={mesh.devices.shape[1]} (pipeline parallel, "
                   f"{cfg.tpu.pipeline_microbatches} microbatches)")
+        elif args.expert_parallel > 1:
+            from rovit_kan_tpu.parallel.tensor import make_moe_mesh
+            data_ax = (-1 if args.devices == -1
+                       else args.devices // args.expert_parallel)
+            mesh = make_moe_mesh(data_ax, args.expert_parallel)
+            param_specs = "moe"   # resolved to a spec tree below
+            print(f"Mesh: data={mesh.devices.shape[0]} x "
+                  f"expert={mesh.devices.shape[1]} (expert parallel, "
+                  f"{cfg.model.moe_experts} experts)")
         else:
             mesh = make_mesh(args.devices)
         if args.device_cache:
@@ -251,7 +289,8 @@ def main():
         logger = ExperimentLogger(cfg.paths.logs_dir, "train")
         specs = None
         if param_specs:
-            from rovit_kan_tpu.parallel.tensor import param_specs as mk_specs
+            from rovit_kan_tpu.parallel.tensor import (
+                moe_param_specs, param_specs as mk_specs)
             # Structure-only init (eval_shape — no FLOPs, no memory) to
             # derive the spec tree BEFORE constructing the Trainer: the
             # constructor must see param_specs to fall back from the flat
@@ -261,7 +300,8 @@ def main():
                               3), np.float32)
             shapes = jax.eval_shape(model.init, jax.random.PRNGKey(seed),
                                     dummy)["params"]
-            specs = mk_specs(shapes)
+            specs = (moe_param_specs(shapes) if param_specs == "moe"
+                     else mk_specs(shapes))
         trainer = Trainer(model, train_l, val_l, cfg, logger=logger,
                           focal_alpha=focal_alpha, mesh=mesh, seed=seed,
                           param_specs=specs)
