@@ -112,6 +112,32 @@ def test_moe_vit_param_tree_and_forward():
     assert out["cls_logits"].shape == (2, 4)
 
 
+def test_moe_composes_with_sequence_parallel():
+    """SP's filler-token padding (5 -> 6 tokens on tp=2) must not change
+    MoE outputs: vit.py threads n_valid into MoEMlp, which masks filler
+    out of the gate scores before top_k."""
+    from rovit_kan_tpu.parallel.tensor import make_2d_mesh, seq_sharding
+    from rovit_kan_tpu.parallel.mesh import replicate
+
+    mesh = make_2d_mesh(4, 2)
+    kw = dict(embed_dim=32, depth=2, num_heads=2, image_size=32,
+              patch_size=16, kan_layers=(32, 8, 1), hidden_dim=16,
+              use_pallas_attention=False, use_pallas_kan=False,
+              moe_experts=4, moe_every=2, moe_capacity_factor=2.0)
+    plain = RoViTKAN(**kw)
+    sp = RoViTKAN(**kw, act_sharding=seq_sharding(mesh))
+    params = plain.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 32, 3)))["params"]
+    x = jnp.asarray(_batch(bs=8)["images"], jnp.float32) / 255.0
+    ref = plain.apply({"params": params}, x, deterministic=True)
+    got = jax.jit(lambda p, x: sp.apply({"params": p}, x,
+                                        deterministic=True))(
+        replicate(params, mesh), x)
+    np.testing.assert_allclose(np.asarray(ref["cls_logits"]),
+                               np.asarray(got["cls_logits"]),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_expert_parallel_step_matches_single_device():
     """Full Trainer step on a ("data", "expert") dp=2 x ep=4 mesh with the
     stacked expert params genuinely sharded P("expert") must match the
