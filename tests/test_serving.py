@@ -82,6 +82,35 @@ def _tiny_model_params():
     return model, params
 
 
+def test_moe_model_serves_and_exports():
+    """The opt-in MoE variant (models/moe.py) rides the same serving and
+    AOT-export paths: top_k / one-hot dispatch are plain XLA ops, so the
+    StableHLO artifact needs nothing extra."""
+    from rovit_kan_tpu.export import export_serving
+    from rovit_kan_tpu.serving import build_serving_forward
+
+    model = RoViTKAN(embed_dim=32, depth=2, num_heads=2, image_size=32,
+                     patch_size=16, kan_layers=(32, 8, 1), hidden_dim=16,
+                     use_pallas_attention=False, use_pallas_kan=False,
+                     moe_experts=4, moe_every=2)
+    params = model.init(jax.random.PRNGKey(0),
+                        np.zeros((1, 32, 32, 3), np.float32))["params"]
+    eng = InferenceEngine(model, params, batch_size=4)
+    eng.warmup()
+    out = eng.predict(_imgs(3, seed=5))
+    assert out["cls_probs"].shape == (3, 4)
+    assert np.all(np.isfinite(out["kan_severity"]))
+
+    blob = export_serving(model, params, batch_size=2)
+    exported = jax.export.deserialize(bytearray(blob))
+    x = _imgs(2, seed=6)
+    got = exported.call(x)
+    want = jax.jit(build_serving_forward(model))(params, x)
+    np.testing.assert_allclose(np.asarray(got["cls_probs"]),
+                               np.asarray(want["cls_probs"]),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_export_roundtrip(tmp_path):
     """Serialize -> reload from bytes on disk -> outputs equal the live
     jitted serving function (weights baked into the artifact)."""
