@@ -31,6 +31,7 @@ TPU-first design choices:
 """
 from __future__ import annotations
 
+import math
 from typing import Any, Optional
 
 import jax
@@ -40,8 +41,8 @@ import flax.linen as nn
 
 def expert_capacity(num_tokens: int, num_experts: int,
                     capacity_factor: float) -> int:
-    """Tokens each expert processes: ceil(S * cf / E), clipped to S."""
-    c = -(-int(num_tokens * capacity_factor) // num_experts)
+    """Tokens each expert processes: ceil(S * cf / E), clipped to [1, S]."""
+    c = math.ceil(num_tokens * capacity_factor / num_experts)
     return max(1, min(c, num_tokens))
 
 
@@ -88,16 +89,19 @@ class MoEMlp(nn.Module):
             scores = jnp.where(valid, scores, -jnp.inf)
 
         _, idx = jax.lax.top_k(scores, C)              # (B, E, C)
-        disp = jax.nn.one_hot(idx, S, dtype=x.dtype)   # (B, E, C, S)
+        disp = jax.nn.one_hot(idx, S, dtype=self.dtype)  # (B, E, C, S)
         # Combine weight of each chosen (expert, slot): its gate prob.
         w = jnp.take_along_axis(scores, idx, axis=-1)  # (B, E, C) fp32
 
-        w1 = self.param("w1", nn.initializers.lecun_normal(),
-                        (E, D, self.hidden), jnp.float32)
+        # batch_axis=0: the expert dim is a batch of independent Dense
+        # layers, NOT receptive field — plain lecun_normal on (E, D, H)
+        # would count fan_in = E*D and under-scale every expert by
+        # sqrt(E) relative to the dense Mlp this is a drop-in for.
+        init = nn.initializers.lecun_normal(batch_axis=0)
+        w1 = self.param("w1", init, (E, D, self.hidden), jnp.float32)
         b1 = self.param("b1", nn.initializers.zeros,
                         (E, self.hidden), jnp.float32)
-        w2 = self.param("w2", nn.initializers.lecun_normal(),
-                        (E, self.hidden, D), jnp.float32)
+        w2 = self.param("w2", init, (E, self.hidden, D), jnp.float32)
         b2 = self.param("b2", nn.initializers.zeros, (E, D), jnp.float32)
 
         xin = jnp.einsum("becs,bsd->becd", disp, x.astype(self.dtype))

@@ -224,11 +224,14 @@ class Block(nn.Module):
                          param_dtype=jnp.float32, name="norm2")(x)
         if self.num_experts > 1:
             from rovit_kan_tpu.models.moe import MoEMlp
+            # Pass the fp32 norm2 output: routing must see full-precision
+            # scores (a bf16 round-trip here could flip near-tie expert
+            # choices); MoEMlp casts to self.dtype for the FFN math only.
             x = x + MoEMlp(self.dim, int(self.dim * self.mlp_ratio),
                            num_experts=self.num_experts,
                            capacity_factor=self.moe_capacity_factor,
                            dtype=self.dtype,
-                           name="moe")(z.astype(self.dtype), n_valid)
+                           name="moe")(z, n_valid)
         else:
             x = x + Mlp(self.dim, int(self.dim * self.mlp_ratio),
                         dtype=self.dtype, name="mlp")(z.astype(self.dtype))
@@ -349,6 +352,10 @@ class VisionTransformer(nn.Module):
             # static_argnums counts self as 0: 2 = return_weights (a Python
             # bool), 4 = n_valid (a Python int or None).
             block_cls = nn.remat(Block, static_argnums=(2, 4))
+        if self.moe_experts > 1 and self.moe_every < 1:
+            raise ValueError(
+                f"moe_every must be >= 1 with moe_experts > 1 "
+                f"(got moe_every={self.moe_every})")
         for i in range(self.depth):
             perturb = gradcam_perturbation if i == self.depth - 1 else None
             moe_here = (self.moe_experts > 1

@@ -49,22 +49,29 @@ _RULES = (
 )
 
 
-def make_2d_mesh(data: int = -1, model: int = 1,
-                 devices: Optional[Sequence] = None) -> Mesh:
-    """Mesh with axes ``("data", "model")`` over ``data * model`` devices."""
+def _data_x_mesh(data: int, second: int, second_axis: str,
+                 devices: Optional[Sequence]) -> Mesh:
+    """Shared ("data", <axis>) mesh builder: resolves data=-1 to the
+    remaining devices and validates the split."""
     if devices is None:
         devices = jax.devices()
     if data == -1:
-        data = len(devices) // model
+        data = len(devices) // second
     if data < 1:
         raise ValueError(
-            f"2-D mesh needs at least model = {model} devices (data axis "
-            f"resolved to {data} from {len(devices)} device(s))")
-    n = data * model
+            f"2-D mesh needs at least {second_axis} = {second} devices "
+            f"(data axis resolved to {data} from {len(devices)} device(s))")
+    n = data * second
     if n > len(devices):
         raise ValueError(f"need {n} devices, have {len(devices)}")
-    return Mesh(np.asarray(devices[:n]).reshape(data, model),
-                ("data", "model"))
+    return Mesh(np.asarray(devices[:n]).reshape(data, second),
+                ("data", second_axis))
+
+
+def make_2d_mesh(data: int = -1, model: int = 1,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """Mesh with axes ``("data", "model")`` over ``data * model`` devices."""
+    return _data_x_mesh(data, model, "model", devices)
 
 
 def seq_sharding(mesh: Mesh, axis: str = "model",
@@ -96,19 +103,7 @@ def seq_sharding(mesh: Mesh, axis: str = "model",
 def make_moe_mesh(data: int = -1, expert: int = 1,
                   devices: Optional[Sequence] = None) -> Mesh:
     """Mesh with axes ``("data", "expert")`` for expert parallelism."""
-    if devices is None:
-        devices = jax.devices()
-    if data == -1:
-        data = len(devices) // expert
-    if data < 1:
-        raise ValueError(
-            f"MoE mesh needs at least expert = {expert} devices (data axis "
-            f"resolved to {data} from {len(devices)} device(s))")
-    n = data * expert
-    if n > len(devices):
-        raise ValueError(f"need {n} devices, have {len(devices)}")
-    return Mesh(np.asarray(devices[:n]).reshape(data, expert),
-                ("data", "expert"))
+    return _data_x_mesh(data, expert, "expert", devices)
 
 
 def moe_param_specs(params: Any, axis: str = "expert") -> Any:

@@ -52,6 +52,17 @@ def test_expert_capacity():
     assert expert_capacity(4, 8, 4.0) == 2
     assert expert_capacity(4, 1, 100.0) == 4     # clipped to S
     assert expert_capacity(4, 100, 0.01) == 1    # floor of 1
+    assert expert_capacity(17, 4, 0.5) == 3      # ceil(8.5/4), not
+    #                                              ceil(floor(8.5)/4) == 2
+
+
+def test_moe_every_validated():
+    model = RoViTKAN(embed_dim=32, depth=2, num_heads=2, image_size=32,
+                     patch_size=16, kan_layers=(32, 8, 1), hidden_dim=16,
+                     use_pallas_attention=False, use_pallas_kan=False,
+                     moe_experts=4, moe_every=0)
+    with pytest.raises(ValueError, match="moe_every"):
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
 
 
 def test_single_expert_full_capacity_is_dense_mlp():
