@@ -7,7 +7,10 @@ from rovit_kan_tpu.parallel.mesh import (  # noqa: F401
 )
 from rovit_kan_tpu.parallel.tensor import (  # noqa: F401
     make_2d_mesh,
+    make_moe_mesh,
+    moe_param_specs,
     param_specs,
+    seq_sharding,
     shard_params,
     shard_state,
 )
