@@ -81,3 +81,40 @@ def test_metric_ranges(seed, n):
     assert 0.0 <= M.brier_score(p, y) <= 2.0
     rho = M.spearman_rho(y.astype(float), rng.randn(n))
     assert -1.0 - 1e-9 <= rho <= 1.0 + 1e-9
+
+
+@SETTINGS
+@given(st.integers(0, 2 ** 31 - 1), st.integers(1, 6),
+       st.floats(0.25, 4.0))
+def test_moe_routing_invariants(seed, num_experts, capacity_factor):
+    """Expert-choice MoE (models/moe.py) for ANY (E, capacity factor):
+    output is finite; each token's total combine weight is at most its
+    gate-prob mass (<= 1); tokens chosen by no expert contribute exactly
+    zero (residual-carried)."""
+    from rovit_kan_tpu.models.moe import MoEMlp, expert_capacity
+
+    rng = np.random.RandomState(seed)
+    B, S, D = 2, 7, 8
+    x = jnp.asarray(rng.randn(B, S, D), jnp.float32)
+    moe = MoEMlp(D, 16, num_experts=num_experts,
+                 capacity_factor=capacity_factor)
+    params = moe.init(jax.random.PRNGKey(seed % 1000), x)["params"]
+    out = np.asarray(moe.apply({"params": params}, x))
+    assert np.isfinite(out).all()
+
+    # Recompute the routing exactly as the layer does to find the
+    # never-chosen tokens: their output rows must be exactly zero.
+    gate = np.asarray(x) @ np.asarray(params["gate"]["kernel"])
+    probs = np.exp(gate - gate.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    C = expert_capacity(S, num_experts, capacity_factor)
+    chosen = np.zeros((B, S), bool)
+    for b in range(B):
+        for e in range(num_experts):
+            top = np.argsort(-probs[b, :, e], kind="stable")[:C]
+            chosen[b, top] = True
+    np.testing.assert_array_equal(out[~chosen], 0.0)
+    # A chosen token's combine weight is its gate prob for each expert
+    # that picked it, so total weight per token <= sum_e p_e = 1 -> the
+    # output is bounded by the max per-expert FFN response magnitude.
+    assert (probs.sum(-1) <= 1.0 + 1e-5).all()
