@@ -103,6 +103,30 @@ def _cost_flops(lowered_compiled) -> float:
         return 0.0
 
 
+def _probe_device(timeout_s: int = 180) -> None:
+    """Fail fast if the device relay is wedged (ops hanging forever).
+
+    This sandbox's TPU tunnel occasionally wedges for hours; without a
+    watchdog the first device op would hang the whole bench run. A tiny
+    matmul must complete within ``timeout_s`` or we exit with a clear
+    error (SIGALRM — main-thread only, which bench.py is)."""
+    import signal
+
+    def _timeout(signum, frame):
+        raise TimeoutError(
+            f"device probe did not complete within {timeout_s}s — "
+            f"TPU relay appears wedged; aborting bench instead of hanging")
+
+    old = signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(timeout_s)
+    try:
+        x = jnp.ones((256, 256), jnp.bfloat16)
+        float((x @ x).sum())
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main() -> None:
     from rovit_kan_tpu.config import get_config
     from rovit_kan_tpu.models.rovit_kan import build_model
@@ -113,6 +137,7 @@ def main() -> None:
         enable_compilation_cache)
     enable_compilation_cache()
 
+    _probe_device()
     dev = jax.devices()[0]
     chip = getattr(dev, "device_kind", str(dev.platform))
     peak_tflops = _chip_peak(chip) if dev.platform == "tpu" else None
