@@ -542,6 +542,35 @@ class Trainer:
                            step=jnp.zeros((), jnp.int32), ema_params=ema)
         return self._place_state(state), ck.get("epoch", 0) + 1
 
+    def _install_preempt_handler(self):
+        """Graceful preemption (TPU pods get reclaimed): SIGTERM sets a
+        flag; ``fit`` checkpoints the CURRENT state as ``preempt_model``
+        at the next epoch boundary and returns cleanly instead of dying
+        mid-run. Resume with ``resume("preempt_model")`` (``train.py
+        --resume`` prefers it automatically). Main-thread only — signal
+        handlers cannot be installed elsewhere; returns the previous
+        handler or None."""
+        import signal
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            return None
+
+        def _on_preempt(signum, frame):
+            self._preempt_requested = True
+            print("Preemption signal received — will checkpoint and stop "
+                  "at the next epoch boundary")
+
+        try:
+            return signal.signal(signal.SIGTERM, _on_preempt)
+        except ValueError:       # non-main interpreter corner cases
+            return None
+
+    def _restore_preempt_handler(self, prev):
+        import signal
+        if prev is not None:
+            signal.signal(signal.SIGTERM, prev)
+
     def fit(self, state: Optional[TrainState] = None,
             epochs: Optional[int] = None,
             start_epoch: int = 1) -> Dict[str, Any]:
@@ -549,6 +578,8 @@ class Trainer:
         if state is None:
             state = self.init_state()
         epochs = epochs or cfg.train.epochs
+        self._preempt_requested = False
+        _prev_sigterm = self._install_preempt_handler()
         # A fresh fit starts with fresh patience/best trackers; a stale
         # counter or best-loss from a previous fit would stop immediately /
         # suppress checkpointing. A resumed fit (start_epoch > 1) keeps the
@@ -568,37 +599,68 @@ class Trainer:
         # train step; if no epoch ever improves (e.g. NaN losses) this
         # fallback must still be readable.
         best_state = jax.tree.map(lambda x: x.copy(), state)
-        for epoch in range(start_epoch, epochs + 1):
-            t0 = time.time()
-            state, train_m = self.train_epoch(state, epoch)
-            val_m = self.val_epoch(state)
-            dt = time.time() - t0
+        preempted = False
+        try:
+            for epoch in range(start_epoch, epochs + 1):
+                t0 = time.time()
+                state, train_m = self.train_epoch(state, epoch)
+                val_m = self.val_epoch(state)
+                dt = time.time() - t0
 
-            if self.logger is not None:
-                self.logger.log_epoch(epoch, train_m["stage"], train_m, val_m)
-            history["train"].append(train_m)
-            history["val"].append(val_m)
-            print(f"Epoch {epoch:3d} stage {train_m['stage']} "
-                  f"train_loss {train_m['total_loss']:.4f} "
-                  f"val_loss {val_m['total_loss']:.4f} "
-                  f"val_acc {val_m['accuracy']:.4f} ({dt:.1f}s)")
+                if self.logger is not None:
+                    self.logger.log_epoch(epoch, train_m["stage"], train_m,
+                                          val_m)
+                history["train"].append(train_m)
+                history["val"].append(val_m)
+                print(f"Epoch {epoch:3d} stage {train_m['stage']} "
+                      f"train_loss {train_m['total_loss']:.4f} "
+                      f"val_loss {val_m['total_loss']:.4f} "
+                      f"val_acc {val_m['accuracy']:.4f} ({dt:.1f}s)")
 
-            if val_m["total_loss"] < self.best_val_loss:
-                self.best_val_loss = val_m["total_loss"]
-                self.epochs_without_improvement = 0
-                # Deep-copy: the live state's buffers are donated to the next
-                # train step and would be deleted under best_state.
-                best_state = jax.tree.map(lambda x: x.copy(), state)
-                self.save_checkpoint(state, epoch, val_m)
-            else:
-                self.epochs_without_improvement += 1
-                if self.epochs_without_improvement >= cfg.train.early_stop_patience:
-                    print(f"Early stopping at epoch {epoch}")
+                if val_m["total_loss"] < self.best_val_loss:
+                    self.best_val_loss = val_m["total_loss"]
+                    self.epochs_without_improvement = 0
+                    # Deep-copy: the live state's buffers are donated to the
+                    # next train step and would be deleted under best_state.
+                    best_state = jax.tree.map(lambda x: x.copy(), state)
+                    self.save_checkpoint(state, epoch, val_m)
+                else:
+                    self.epochs_without_improvement += 1
+                    if self.epochs_without_improvement \
+                            >= cfg.train.early_stop_patience:
+                        print(f"Early stopping at epoch {epoch}")
+                        break
+
+                if self._preempt_requested:
+                    # Save the CURRENT (not best) state so a resumed run
+                    # continues exactly where this one stopped, with the
+                    # best-loss tracker intact (save_checkpoint persists
+                    # best_val_loss).
+                    self.save_checkpoint(state, epoch, val_m,
+                                         name="preempt_model")
+                    print(f"Preempted at epoch {epoch}: state saved as "
+                          f"preempt_model; resume with --resume")
+                    preempted = True
                     break
+        finally:
+            self._restore_preempt_handler(_prev_sigterm)
+
+        if not preempted:
+            # A completed (or early-stopped) fit invalidates any stale
+            # preemption checkpoint — leaving it would hijack a later
+            # --resume with an older state.
+            import shutil
+            stale = self._ckpt_dir() / "preempt_model"
+            if stale.exists():
+                shutil.rmtree(stale)
+            meta = stale.with_name(stale.name + ".meta.json")
+            if meta.exists():
+                meta.unlink()
 
         self.history = history
         return {"state": state, "best_state": best_state,
-                "history": history, "best_val_loss": self.best_val_loss}
+                "history": history, "best_val_loss": self.best_val_loss,
+                "preempted": preempted}
 
     # -- checkpointing (orbax) ------------------------------------------
     def _ckpt_dir(self) -> Path:

@@ -307,10 +307,15 @@ def main():
                           param_specs=specs)
 
         start_epoch = 1
-        if args.resume and (cfg.paths.checkpoints_dir
-                            / "best_model").exists():
-            state, start_epoch = trainer.resume()
-            print(f"Resumed from epoch {start_epoch - 1}")
+        ck_dir = cfg.paths.checkpoints_dir
+        # A preemption checkpoint (SIGTERM mid-run) is by construction the
+        # LATEST state — prefer it over best_model; a completed fit deletes
+        # it, so its presence always means "interrupted run".
+        resume_name = ("preempt_model" if (ck_dir / "preempt_model").exists()
+                       else "best_model")
+        if args.resume and (ck_dir / resume_name).exists():
+            state, start_epoch = trainer.resume(resume_name)
+            print(f"Resumed from epoch {start_epoch - 1} ({resume_name})")
         elif cfg.model.pretrained_npz:
             from rovit_kan_tpu.models.convert import (
                 load_npz, merge_pretrained)

@@ -363,3 +363,52 @@ def test_ema_freezes_on_accumulation_microsteps(tmp_path):
                     jnp.float32(0.0))
     # Micro-step 2: update applied -> EMA moved.
     assert not np.array_equal(leaf(state.ema_params), e0)
+
+
+def test_preemption_checkpoints_and_resumes(tmp_path):
+    """SIGTERM mid-fit -> the CURRENT state is saved as preempt_model at
+    the epoch boundary, fit returns preempted=True, a resume continues
+    from the preempted epoch, and a completed fit deletes the stale
+    preemption checkpoint (so --resume can't pick up an old state)."""
+    import os
+    import signal
+
+    cfg = _cfg(tmp_path)
+    cfg.train.epochs = 4
+    batches = _batches()
+
+    class _SignalingLoader(_FakeLoader):
+        """Sends SIGTERM from the main thread during the 2nd epoch's
+        iteration — deterministic: the handler runs at the next bytecode."""
+        def __init__(self, b):
+            super().__init__(b)
+            self.epoch = 0
+
+        def __iter__(self):
+            self.epoch += 1
+            if self.epoch == 2:
+                os.kill(os.getpid(), signal.SIGTERM)
+            return super().__iter__()
+
+    tr = Trainer(_model(), _SignalingLoader(batches), _FakeLoader(batches),
+                 cfg, mesh=make_mesh(1), seed=0)
+    res = tr.fit()
+    assert res["preempted"] is True
+    assert len(res["history"]["train"]) == 2          # stopped after ep 2
+    assert (tmp_path / "ckpt" / "preempt_model").exists()
+    # The default handler is restored (the test process must not die on a
+    # later SIGTERM from, e.g., pytest-timeout).
+    assert signal.getsignal(signal.SIGTERM) in (
+        signal.SIG_DFL, signal.default_int_handler)
+
+    # Resume from the preemption checkpoint: continues at epoch 3.
+    tr2 = Trainer(_model(), _FakeLoader(batches), _FakeLoader(batches),
+                  cfg, mesh=make_mesh(1), seed=0)
+    state, next_epoch = tr2.resume("preempt_model")
+    assert next_epoch == 3
+    assert tr2.best_val_loss == pytest.approx(res["best_val_loss"])
+    out = tr2.fit(state, start_epoch=next_epoch)
+    assert out["preempted"] is False
+    assert len(out["history"]["train"]) == 2          # epochs 3..4
+    # Clean completion removed the stale preemption checkpoint.
+    assert not (tmp_path / "ckpt" / "preempt_model").exists()
