@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""HTTP serving endpoint around the InferenceEngine (stdlib only).
+
+The reference stops at an eager ``predict()`` method; this completes the
+production-serving story: one pre-compiled fixed-shape program behind a
+threaded HTTP server, ready for a load balancer.
+
+Protocol (stdlib-only on both sides):
+
+  POST /predict    body = ``.npy`` bytes of a uint8 (N, H, W, 3) array
+                   (``np.save(buf, imgs)``) -> JSON dict of predictions
+                   (cls_pred / cls_probs / severities / uncertainty).
+  GET  /healthz    -> 200 + JSON engine stats once the serving program is
+                   compiled (readiness probe).
+
+Usage:
+  python scripts/serve.py --checkpoint outputs/train/checkpoints/best_model \
+      --port 8000 [--batch_size 64] [--image_size 384] [--cpu]
+
+Client sketch:
+  buf = io.BytesIO(); np.save(buf, imgs_u8)
+  req = urllib.request.Request("http://host:8000/predict", buf.getvalue())
+  preds = json.loads(urllib.request.urlopen(req).read())
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+
+
+def make_server(engine, host: str = "0.0.0.0", port: int = 8000
+                ) -> ThreadingHTTPServer:
+    """Wrap an InferenceEngine in a ready-to-run ThreadingHTTPServer.
+
+    The engine's jitted program is thread-safe to execute, but its rolling
+    stats lists are not — one lock serializes requests (the device is the
+    bottleneck anyway; concurrent jit dispatches would just queue)."""
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):   # quiet access log
+            pass
+
+        def _json(self, code: int, payload) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                with lock:
+                    self._json(200, engine.stats())
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._json(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                imgs = np.load(io.BytesIO(self.rfile.read(n)),
+                               allow_pickle=False)
+                if imgs.dtype != np.uint8 or imgs.ndim != 4 \
+                        or imgs.shape[-1] != 3:
+                    raise ValueError(
+                        f"expected uint8 (N, H, W, 3), got "
+                        f"{imgs.dtype} {imgs.shape}")
+            except Exception as e:           # malformed request
+                self._json(400, {"error": str(e)})
+                return
+            try:
+                with lock:
+                    out = engine.predict(imgs)
+                self._json(200, {k: np.asarray(v).tolist()
+                                 for k, v in out.items()})
+            except Exception as e:           # serving failure
+                self._json(500, {"error": str(e)})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", type=Path, required=True)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--image_size", type=int, default=None,
+                   help="serve at a different resolution than trained "
+                        "(pos-embed interpolation)")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = p.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from rovit_kan_tpu.serving import load_engine
+    from rovit_kan_tpu.utils.compilation_cache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
+
+    engine = load_engine(args.checkpoint, batch_size=args.batch_size,
+                         image_size=args.image_size)
+    print(f"Compiling serving program (batch {args.batch_size}, "
+          f"{engine.model.image_size}px)...")
+    engine.warmup()
+    server = make_server(engine, args.host, args.port)
+    print(f"Serving on http://{args.host}:{server.server_address[1]} "
+          f"(POST /predict, GET /healthz)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -153,3 +153,48 @@ def test_exported_artifact_needs_no_model_code(tmp_path):
     out = exported.call(_imgs(2, seed=7))
     assert np.asarray(out["cls_probs"]).shape == (2, 4)
     assert np.all(np.isfinite(np.asarray(out["kan_severity"])))
+
+
+def test_http_server_roundtrip(engine):
+    """scripts/serve.py: POST .npy images -> JSON predictions; /healthz
+    readiness; malformed bodies get 400 not a crash."""
+    import io
+    import json
+    import sys
+    import threading
+    import urllib.request
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+    from serve import make_server
+
+    server = make_server(engine, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        buf = io.BytesIO()
+        np.save(buf, _imgs(3, seed=9))
+        got = json.loads(urllib.request.urlopen(
+            urllib.request.Request(f"{base}/predict", buf.getvalue()),
+            timeout=30).read())
+        assert len(got["cls_pred"]) == 3
+        assert len(got["cls_probs"][0]) == 4
+        want = engine.predict(_imgs(3, seed=9))
+        np.testing.assert_allclose(got["cls_probs"], want["cls_probs"],
+                                   atol=1e-6)
+
+        health = json.loads(urllib.request.urlopen(
+            f"{base}/healthz", timeout=30).read())
+        assert health["requests"] >= 1
+
+        bad = urllib.request.Request(f"{base}/predict", b"not npy")
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "malformed body should 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
