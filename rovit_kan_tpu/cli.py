@@ -43,3 +43,11 @@ def baselines_main():
 
 def convert_main():
     return _run("convert_checkpoint.py")
+
+
+def serve_main():
+    return _run("serve.py")
+
+
+def export_main():
+    return _run("export_model.py")
