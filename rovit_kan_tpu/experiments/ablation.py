@@ -124,6 +124,13 @@ class AblationExperiment:
                           logger=logger, focal_alpha=self.focal_alpha,
                           mesh=self.mesh, seed=self.seed)
         fit = trainer.fit(epochs=epochs)
+        if fit.get("preempted"):
+            # Never cache a half-trained variant: writing test_metrics.json
+            # here would make the skip-resume check treat it as complete
+            # forever. The preempt checkpoint stays for a manual resume.
+            raise SystemExit(
+                f"[{variant.name}] preempted mid-training — results NOT "
+                f"cached; re-run to continue")
 
         evaluator = Evaluator(model, fit["best_state"].params,
                               self.test_loader, cfg, output_dir=exp_dir)

@@ -63,8 +63,14 @@ class InferenceEngine:
         self.model = model
         self.batch_size = batch_size
         self.mesh = mesh
-        self._latencies: list = []
-        self._request_sizes: list = []
+        # Rolling windows (bounded: a weeks-long serving process must not
+        # grow per-request lists without bound). "requests"/"images_served"
+        # stay exact via separate counters.
+        from collections import deque
+        self._latencies: deque = deque(maxlen=10_000)
+        self._request_sizes: deque = deque(maxlen=10_000)
+        self._n_requests = 0
+        self._n_images = 0
 
         if mesh is not None:
             from rovit_kan_tpu.parallel.mesh import replicate
@@ -135,6 +141,8 @@ class InferenceEngine:
         out = self._unpack(np.asarray(self._run(images_u8))[:n])
         self._latencies.append(time.perf_counter() - t0)
         self._request_sizes.append(n)
+        self._n_requests += 1
+        self._n_images += n
         return out
 
     def predict_stream(self, batches: Iterable[np.ndarray]
@@ -144,17 +152,18 @@ class InferenceEngine:
             yield self.predict(images)
 
     def stats(self) -> Dict[str, float]:
-        """Rolling serving stats. Throughput uses the ACTUAL image counts
-        served, not the padded batch size; the first (compile) request is
-        excluded from latency/throughput when more exist."""
-        skip = 1 if len(self._latencies) > 1 else 0
-        lat = np.asarray(self._latencies[skip:])
-        sizes = np.asarray(self._request_sizes[skip:])
+        """Rolling serving stats (last 10k requests; request/image totals
+        exact). Throughput uses the ACTUAL image counts served, not the
+        padded batch size; the first (compile) request is excluded from
+        latency/throughput when more exist."""
+        skip = 1 if self._n_requests > 1 and len(self._latencies) > 1 else 0
+        lat = np.asarray(list(self._latencies)[skip:])
+        sizes = np.asarray(list(self._request_sizes)[skip:])
         if lat.size == 0:
-            return {"requests": 0}
+            return {"requests": self._n_requests}
         return {
-            "requests": len(self._latencies),
-            "images_served": int(np.sum(self._request_sizes)),
+            "requests": self._n_requests,
+            "images_served": self._n_images,
             "mean_latency_ms": float(lat.mean() * 1e3),
             "p95_latency_ms": float(np.percentile(lat, 95) * 1e3),
             "images_per_sec": float(sizes.sum() / lat.sum()),

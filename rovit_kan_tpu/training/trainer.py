@@ -530,6 +530,10 @@ class Trainer:
             # EMA resumed from a non-EMA checkpoint seeds from params.
             ema = jax.tree.map(jnp.copy, params) if ema_on else None
         self.best_val_loss = ck.get("best_val_loss", float("inf"))
+        # Early-stop patience continues where it left off (a preempt/resume
+        # cycle must not grant fresh patience).
+        self.epochs_without_improvement = ck.get(
+            "epochs_without_improvement", 0)
         if self.pipelined:
             # Checkpoints are canonical (see save_checkpoint); convert to
             # the pipelined layout before placing on the mesh.
@@ -562,14 +566,19 @@ class Trainer:
                   "at the next epoch boundary")
 
         try:
-            return signal.signal(signal.SIGTERM, _on_preempt)
+            # Wrap in a tuple: signal.signal returns None for C-installed
+            # handlers, which must still be RESTORED (to SIG_DFL) — a bare
+            # None could not be told apart from "never installed".
+            return ("installed", signal.signal(signal.SIGTERM, _on_preempt))
         except ValueError:       # non-main interpreter corner cases
             return None
 
-    def _restore_preempt_handler(self, prev):
+    def _restore_preempt_handler(self, token):
         import signal
-        if prev is not None:
-            signal.signal(signal.SIGTERM, prev)
+        if token is not None:
+            prev = token[1]
+            signal.signal(signal.SIGTERM,
+                          prev if prev is not None else signal.SIG_DFL)
 
     def fit(self, state: Optional[TrainState] = None,
             epochs: Optional[int] = None,
@@ -583,9 +592,10 @@ class Trainer:
         # A fresh fit starts with fresh patience/best trackers; a stale
         # counter or best-loss from a previous fit would stop immediately /
         # suppress checkpointing. A resumed fit (start_epoch > 1) keeps the
-        # checkpoint's best_val_loss set by resume().
-        self.epochs_without_improvement = 0
+        # checkpoint's best_val_loss AND patience counter set by resume()
+        # — a preempt/resume cycle must not reset early stopping.
         if start_epoch == 1:
+            self.epochs_without_improvement = 0
             self.best_val_loss = float("inf")
 
         # Align the loader's epoch-keyed shuffle stream with the starting
@@ -600,6 +610,7 @@ class Trainer:
         # fallback must still be readable.
         best_state = jax.tree.map(lambda x: x.copy(), state)
         preempted = False
+        improved = False    # did THIS fit ever beat best_val_loss?
         try:
             for epoch in range(start_epoch, epochs + 1):
                 t0 = time.time()
@@ -620,6 +631,7 @@ class Trainer:
                 if val_m["total_loss"] < self.best_val_loss:
                     self.best_val_loss = val_m["total_loss"]
                     self.epochs_without_improvement = 0
+                    improved = True
                     # Deep-copy: the live state's buffers are donated to the
                     # next train step and would be deleted under best_state.
                     best_state = jax.tree.map(lambda x: x.copy(), state)
@@ -631,11 +643,13 @@ class Trainer:
                         print(f"Early stopping at epoch {epoch}")
                         break
 
-                if self._preempt_requested:
+                if self._preempt_requested and epoch < epochs:
+                    # (A signal during the FINAL epoch is completion, not
+                    # preemption — nothing is left to resume.)
                     # Save the CURRENT (not best) state so a resumed run
                     # continues exactly where this one stopped, with the
-                    # best-loss tracker intact (save_checkpoint persists
-                    # best_val_loss).
+                    # best-loss and patience trackers intact
+                    # (save_checkpoint persists both).
                     self.save_checkpoint(state, epoch, val_m,
                                          name="preempt_model")
                     print(f"Preempted at epoch {epoch}: state saved as "
@@ -658,9 +672,13 @@ class Trainer:
                 meta.unlink()
 
         self.history = history
+        # "improved" tells resumed callers whether best_state is really the
+        # best: a resume from preempt_model starts fit with the PREEMPTED
+        # state as best_state, and if no epoch beats the restored
+        # best_val_loss the true best lives only in the on-disk best_model.
         return {"state": state, "best_state": best_state,
                 "history": history, "best_val_loss": self.best_val_loss,
-                "preempted": preempted}
+                "preempted": preempted, "improved": improved}
 
     # -- checkpointing (orbax) ------------------------------------------
     def _ckpt_dir(self) -> Path:
@@ -684,7 +702,9 @@ class Trainer:
         save_checkpoint(self._ckpt_dir() / name, params,
                         opt_state=opt_state, epoch=epoch,
                         best_val_loss=self.best_val_loss, metrics=metrics,
-                        config=self.config, ema_params=ema)
+                        config=self.config, ema_params=ema,
+                        epochs_without_improvement=(
+                            self.epochs_without_improvement))
 
     def load_checkpoint(self, name: str = "best_model"):
         from rovit_kan_tpu.utils.checkpoint import load_checkpoint

@@ -33,7 +33,8 @@ def _to_jsonable(x):
 def save_checkpoint(path, params: Any, opt_state: Any = None,
                     epoch: int = 0, best_val_loss: float = float("inf"),
                     metrics: Optional[Dict] = None,
-                    config: Any = None, ema_params: Any = None) -> None:
+                    config: Any = None, ema_params: Any = None,
+                    epochs_without_improvement: int = 0) -> None:
     """Save params (+ optional opt state / EMA params) and a JSON metadata
     sidecar. ``ema_params``, when present, are what evaluation should use
     (the trainer validated with them)."""
@@ -50,6 +51,7 @@ def save_checkpoint(path, params: Any, opt_state: Any = None,
     ckptr.save(path, tree)
     ckptr.wait_until_finished()
     meta = {"epoch": epoch, "best_val_loss": best_val_loss,
+            "epochs_without_improvement": epochs_without_improvement,
             "metrics": _to_jsonable(metrics or {})}
     if config is not None:
         meta["config"] = (config.to_dict() if hasattr(config, "to_dict")

@@ -55,10 +55,16 @@ def make_server(engine, host: str = "0.0.0.0", port: int = 8000
             self.end_headers()
             self.wfile.write(body)
 
+        size = engine.model.image_size
+        # Generous request cap: 4 full batches of raw pixels + npy header.
+        max_body = 4 * engine.batch_size * size * size * 3 + 4096
+
         def do_GET(self):
             if self.path == "/healthz":
-                with lock:
-                    self._json(200, engine.stats())
+                # No predict lock: stats() only READS the rolling deques
+                # (GIL-atomic appends on the other side) — a readiness
+                # probe must not block behind an in-flight inference.
+                self._json(200, engine.stats())
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 
@@ -68,6 +74,10 @@ def make_server(engine, host: str = "0.0.0.0", port: int = 8000
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > self.max_body:
+                    self._json(413, {"error": f"body {n} bytes exceeds "
+                                              f"cap {self.max_body}"})
+                    return
                 imgs = np.load(io.BytesIO(self.rfile.read(n)),
                                allow_pickle=False)
                 if imgs.dtype != np.uint8 or imgs.ndim != 4 \
@@ -75,6 +85,13 @@ def make_server(engine, host: str = "0.0.0.0", port: int = 8000
                     raise ValueError(
                         f"expected uint8 (N, H, W, 3), got "
                         f"{imgs.dtype} {imgs.shape}")
+                if imgs.shape[1:3] != (self.size, self.size):
+                    # The serving program is fixed-shape: a mismatched
+                    # resolution would retrace (and fail on pos_embed),
+                    # holding the lock — reject it as a client error.
+                    raise ValueError(
+                        f"engine serves {self.size}x{self.size}px, got "
+                        f"{imgs.shape[1]}x{imgs.shape[2]}")
             except Exception as e:           # malformed request
                 self._json(400, {"error": str(e)})
                 return

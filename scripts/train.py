@@ -338,21 +338,41 @@ def main():
             print(f"Profiler trace written to {args.profile_dir}")
 
         result = trainer.fit(state, start_epoch=start_epoch)
+        if result["preempted"]:
+            # The pod is being reclaimed: skip plotting/evaluation (they
+            # would be killed mid-way anyway) and tell the caller — a
+            # half-trained model must never produce "final" metrics.
+            print("Run preempted — skipping final evaluation; "
+                  "re-run with --resume to continue")
+            return None
         logger.plot_training_curves()
 
         # Evaluate the same weights model selection and the checkpoint use:
         # the EMA tree when EMA is on, merged back to the canonical layout
         # when the run was pipeline-parallel.
-        eval_weights = trainer.eval_params(result["best_state"])
-        if trainer.pipelined:
-            from rovit_kan_tpu.parallel.pipeline import merge_params
-            eval_weights = merge_params(eval_weights)
+        if (resume_name == "preempt_model" and start_epoch > 1
+                and not result["improved"]
+                and (ck_dir / "best_model").exists()):
+            # Resumed from a preemption checkpoint and no epoch beat the
+            # restored best: the in-memory "best_state" is the
+            # preemption-time state — the true best lives on disk.
+            from rovit_kan_tpu.evaluation.evaluator import (
+                load_model_for_evaluation)
+            _, eval_weights = load_model_for_evaluation(
+                ck_dir / "best_model", cfg)
+        else:
+            eval_weights = trainer.eval_params(result["best_state"])
+            if trainer.pipelined:
+                from rovit_kan_tpu.parallel.pipeline import merge_params
+                eval_weights = merge_params(eval_weights)
         evaluator = Evaluator(model, eval_weights, test_l,
                               cfg, output_dir=cfg.paths.results_dir)
         return evaluator.evaluate()
 
     if not args.all_seeds:
         metrics = run_one(args.seed, args.output_dir)
+        if metrics is None:       # preempted
+            return
         print("Done. Test accuracy:", metrics["accuracy"])
         return
 
@@ -362,7 +382,11 @@ def main():
     all_metrics = {}
     for seed in config.train.seeds:
         print(f"===== seed {seed} =====")
-        all_metrics[seed] = run_one(seed, args.output_dir / f"seed_{seed}")
+        m = run_one(seed, args.output_dir / f"seed_{seed}")
+        if m is None:             # preempted — stop the sweep cleanly
+            print(f"Sweep preempted at seed {seed}; re-run with --resume")
+            return
+        all_metrics[seed] = m
     keys = ("accuracy", "macro_f1", "weighted_f1", "mae", "spearman_rho",
             "brier_score", "ece")
     summary = {}

@@ -195,6 +195,17 @@ def test_http_server_roundtrip(engine):
             assert False, "malformed body should 400"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+        # Wrong resolution must be a 400 (fixed-shape serving program),
+        # not a retrace-then-500.
+        buf2 = io.BytesIO()
+        np.save(buf2, np.zeros((1, 16, 16, 3), np.uint8))
+        wrong = urllib.request.Request(f"{base}/predict", buf2.getvalue())
+        try:
+            urllib.request.urlopen(wrong, timeout=30)
+            assert False, "wrong resolution should 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         server.shutdown()
         server.server_close()
