@@ -68,6 +68,10 @@ def main():
                               config.data.class_names,
                               config.data.severity_map,
                               image_size=size)
+    if len(test_ds) == 0:
+        raise SystemExit(
+            f"no images found under {args.data_root / 'Original Image'} "
+            f"(expected class-per-folder JPEGs; see README 'Quick start')")
     loader = Loader(test_ds, args.batch_size)
 
     evaluator = Evaluator(model, params, loader, config,
