@@ -20,13 +20,35 @@ from rovit_kan_tpu.ops.preprocess import augment_batch, eval_batch
 from rovit_kan_tpu.ops.mixing import cutmix_or_mixup  # noqa: F401 re-export
 
 
-def augmented_transforms() -> Callable:
+def augmented_transforms(seed: int = 0) -> Callable:
     """Train-time pipeline: random flips + color jitter + normalize.
-    Returns ``fn(images_u8, key) -> float32 normalized batch``."""
+    Returns ``fn(images_u8, key) -> float32 normalized batch``.
+
+    Prefer passing an explicit ``key`` (the Trainer threads its own rng
+    stream through ``ops.preprocess.augment_batch`` directly). For code
+    ported against the reference's keyless API the factory keeps a
+    host-side call counter and folds it into ``PRNGKey(seed)`` — fresh
+    draws per call, mirroring torch's global RNG — and warns once. That
+    counter is Python state: under ``jit`` it traces a single constant, so
+    keyless use inside a compiled step would freeze the augmentations —
+    always pass a key there.
+    """
+    import itertools
+    import warnings
+
+    counter = itertools.count()
+    base = jax.random.PRNGKey(seed)
 
     def apply(images_u8, key: Optional[jax.Array] = None):
         if key is None:
-            key = jax.random.PRNGKey(0)
+            n = next(counter)
+            if n == 0:
+                warnings.warn(
+                    "augmented_transforms() called without a PRNG key; "
+                    "drawing from a host-side counter stream (do not use "
+                    "keyless inside jit — augmentations would be constant)",
+                    stacklevel=2)
+            key = jax.random.fold_in(base, n)
         return augment_batch(key, images_u8)
 
     return apply

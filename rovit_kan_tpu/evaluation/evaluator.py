@@ -99,13 +99,26 @@ class Evaluator:
             "uncertainty": np.concatenate(unc),
         }
 
-    def evaluate_on_device(self) -> Dict[str, float]:
+    _all_metrics_jit = None       # class-level cache: one trace per process
+
+    def evaluate_on_device(self, severity_fallback: Optional[bool] = None
+                           ) -> Dict[str, float]:
         """Distributed-friendly metric pass: per-batch outputs stay on
         device; the full metric suite (ops/device_metrics.py, incl. Spearman
         with average-tie ranks) runs as one jit program over the
-        concatenated device arrays — no host gather of predictions."""
+        concatenated device arrays — no host gather of predictions.
+
+        ``severity_fallback`` follows the same convention as ``evaluate()``
+        (reference artifact, evaluator.py:50-53): defaults to True for
+        models without a KAN head, substituting the ground-truth severity
+        so the two eval paths report identical MAE/ρ for the same
+        checkpoint; the returned dict flags it as ``severity_is_fallback``.
+        """
         import jax.numpy as jnp
         from rovit_kan_tpu.ops.device_metrics import all_metrics
+
+        if severity_fallback is None:
+            severity_fallback = not getattr(self.model, "with_kan", True)
 
         probs, labels, sev_t, sev_p, valid = [], [], [], [], []
         for batch in self.test_loader:
@@ -115,12 +128,19 @@ class Evaluator:
             labels.append(jnp.asarray(batch["labels"]))
             sev_t.append(jnp.asarray(batch["severity"]))
             valid.append(jnp.asarray(batch["valid"]))
-        m = jax.jit(all_metrics, static_argnames="num_classes")(
+        if Evaluator._all_metrics_jit is None:
+            Evaluator._all_metrics_jit = jax.jit(
+                all_metrics, static_argnames="num_classes")
+        sev_t = jnp.concatenate(sev_t)
+        m = Evaluator._all_metrics_jit(
             jnp.concatenate(probs), jnp.concatenate(labels),
-            jnp.concatenate(sev_p), jnp.concatenate(sev_t),
-            jnp.concatenate(valid), num_classes=len(self.class_names))
-        return {k: (np.asarray(v) if k == "confusion_matrix" else float(v))
-                for k, v in m.items()}
+            sev_t if severity_fallback else jnp.concatenate(sev_p),
+            sev_t, jnp.concatenate(valid),
+            num_classes=len(self.class_names))
+        out = {k: (np.asarray(v) if k == "confusion_matrix" else float(v))
+               for k, v in m.items()}
+        out["severity_is_fallback"] = bool(severity_fallback)
+        return out
 
     def evaluate(self, run_fps: bool = True,
                  severity_fallback: Optional[bool] = None,

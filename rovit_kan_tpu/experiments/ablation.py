@@ -21,6 +21,7 @@ from __future__ import annotations
 import copy
 import csv
 import json
+import shutil
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, List, Optional
@@ -30,7 +31,10 @@ import numpy as np
 from rovit_kan_tpu.config import Config
 from rovit_kan_tpu.models.rovit_kan import build_model
 from rovit_kan_tpu.training.trainer import Trainer
-from rovit_kan_tpu.evaluation.evaluator import Evaluator
+from rovit_kan_tpu.evaluation.evaluator import (
+    Evaluator,
+    load_model_for_evaluation,
+)
 from rovit_kan_tpu.results.logger import ExperimentLogger
 
 
@@ -123,21 +127,52 @@ class AblationExperiment:
         trainer = Trainer(model, self.train_loader, self.val_loader, cfg,
                           logger=logger, focal_alpha=self.focal_alpha,
                           mesh=self.mesh, seed=self.seed)
-        fit = trainer.fit(epochs=epochs)
+        preempt = exp_dir / "preempt_model"
+        resumed = preempt.exists()
+        if resumed:
+            # A previous run of this variant was preempted mid-training:
+            # continue from its epoch-boundary checkpoint instead of
+            # silently redoing the finished epochs.
+            print(f"[{variant.name}] preemption checkpoint found — "
+                  f"resuming")
+            state, start_epoch = trainer.resume("preempt_model")
+            fit = trainer.fit(state, epochs=epochs,
+                              start_epoch=start_epoch)
+        else:
+            fit = trainer.fit(epochs=epochs)
         if fit.get("preempted"):
             # Never cache a half-trained variant: writing test_metrics.json
             # here would make the skip-resume check treat it as complete
-            # forever. The preempt checkpoint stays for a manual resume.
+            # forever. The preempt checkpoint stays; the next run of this
+            # variant resumes it automatically (above).
             raise SystemExit(
                 f"[{variant.name}] preempted mid-training — results NOT "
                 f"cached; re-run to continue")
 
-        evaluator = Evaluator(model, fit["best_state"].params,
+        # Evaluate the same weights model selection used: the EMA tree when
+        # EMA is on (val_epoch scores eval_params; evaluating the raw tree
+        # would report metrics for weights that were never validated).
+        if resumed and not fit["improved"] and ckpt.exists():
+            # Resumed from a preemption checkpoint and no epoch beat the
+            # restored best_val_loss: the in-memory best_state is the
+            # preemption-time state — the true best lives on disk.
+            _, eval_weights = load_model_for_evaluation(ckpt, cfg)
+        else:
+            eval_weights = trainer.eval_params(fit["best_state"])
+            if trainer.pipelined:
+                from rovit_kan_tpu.parallel.pipeline import merge_params
+                eval_weights = merge_params(eval_weights)
+        evaluator = Evaluator(model, eval_weights,
                               self.test_loader, cfg, output_dir=exp_dir)
         metrics = evaluator.evaluate(run_fps=self.run_fps)
         metrics["experiment"] = variant.name
         metrics["best_val_loss"] = fit["best_val_loss"]
         logger.save_metrics(metrics, "test_metrics.json")
+        if preempt.exists():
+            # This variant is now complete: a stale preemption checkpoint
+            # would make the NEXT run resume into an already-finished
+            # training (and skip-resume already covers re-runs).
+            shutil.rmtree(preempt)
         logger.plot_training_curves()
         self.results[variant.name] = metrics
         return metrics

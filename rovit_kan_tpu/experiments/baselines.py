@@ -32,7 +32,7 @@ import optax
 from rovit_kan_tpu.config import Config
 from rovit_kan_tpu.models.baselines import BaselineModel, BACKBONES
 from rovit_kan_tpu.ops.preprocess import augment_batch, eval_batch
-from rovit_kan_tpu.training.losses import focal_loss
+from rovit_kan_tpu.training.losses import focal_loss_per_example
 from rovit_kan_tpu.evaluation import metrics as M
 from rovit_kan_tpu.parallel.mesh import make_mesh, shard_batch, replicate
 
@@ -75,14 +75,20 @@ class BaselineExperiment:
         def train_step(variables, opt_state, rng, batch):
             rng, k_aug = jax.random.split(rng)
             x = augment_batch(k_aug, batch["images"])
+            # Mask padded rows (a non-drop_last loader zero-pads the tail
+            # batch with label-0 samples, valid=0) out of both the loss
+            # mean and the accuracy — same convention as training/losses.py.
+            valid = batch["valid"].astype(jnp.float32)
+            denom = jnp.maximum(valid.sum(), 1.0)
 
             def loss_fn(params):
                 out, mutated = model.apply(
                     {"params": params, **{k: v for k, v in variables.items()
                                           if k != "params"}},
                     x, deterministic=False, mutable=["batch_stats"])
-                loss = focal_loss(out["cls_logits"], batch["labels"],
-                                  gamma, alpha)
+                per_ex = focal_loss_per_example(
+                    out["cls_logits"], batch["labels"], gamma, alpha)
+                loss = (per_ex * valid).sum() / denom
                 return loss, (out, mutated)
 
             (loss, (out, mutated)), grads = jax.value_and_grad(
@@ -90,8 +96,9 @@ class BaselineExperiment:
             updates, new_opt = tx.update(grads, opt_state,
                                          variables["params"])
             params = optax.apply_updates(variables["params"], updates)
-            acc = jnp.mean((jnp.argmax(out["cls_logits"], -1)
-                            == batch["labels"]).astype(jnp.float32))
+            acc = ((jnp.argmax(out["cls_logits"], -1)
+                    == batch["labels"]).astype(jnp.float32)
+                   * valid).sum() / denom
             new_vars = {"params": params, **mutated}
             return new_vars, new_opt, rng, {"loss": loss, "accuracy": acc}
 
@@ -137,7 +144,6 @@ class BaselineExperiment:
             opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
             per_step = []
             for batch in self.train_loader:
-                batch.pop("valid", None)
                 batch = shard_batch(batch, self.mesh)
                 variables, opt_state, rng, m = train_step(
                     variables, opt_state, rng, batch)

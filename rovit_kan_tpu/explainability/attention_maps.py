@@ -104,10 +104,15 @@ class ViTAttentionRollout:
     """Object-style API mirroring the reference class
     (attention_maps.py:10-158)."""
 
-    def __init__(self, model, params, discard_ratio: float = 0.9):
+    def __init__(self, model, params, discard_ratio: float = 0.9,
+                 apply_discard: bool = False):
+        """``discard_ratio`` only takes effect with ``apply_discard=True``
+        (the reference stores the ratio but never applies it — the default
+        reproduces that; the flag enables the documented intent)."""
         self.model = model
         self.params = params
         self.discard_ratio = discard_ratio
+        self.apply_discard = apply_discard
 
         @jax.jit
         def _attn(params, x):
@@ -125,7 +130,8 @@ class ViTAttentionRollout:
         size = images.shape[1]
         return np.asarray(attention_rollout(
             attention, head_fusion=head_fusion, image_size=size,
-            discard_ratio=self.discard_ratio))
+            discard_ratio=self.discard_ratio,
+            apply_discard=self.apply_discard))
 
     def visualize(self, image_display: np.ndarray, attention_map: np.ndarray,
                   save_path: Optional[Path] = None, title: str = ""):

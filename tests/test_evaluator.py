@@ -82,6 +82,25 @@ def test_severity_fallback_artifact(setup):
     assert r["spearman_rho"] == pytest.approx(1.0)
 
 
+def test_severity_fallback_on_device_path(setup):
+    """evaluate_on_device must apply the same severity_fallback convention
+    as evaluate() — a no-KAN model reports MAE=0/rho=1 (flagged) on BOTH
+    eval paths, never a contradictory pair."""
+    cfg, _, _, loader, tmp = setup
+    model = _tiny_model(with_kan=False)
+    params = model.init(jax.random.PRNGKey(1),
+                        np.zeros((1, 32, 32, 3), np.float32))["params"]
+    ev = Evaluator(model, params, loader, cfg, output_dir=tmp / "nkd")
+    dev = ev.evaluate_on_device()
+    assert dev["severity_is_fallback"]
+    assert dev["mae"] == pytest.approx(0.0)
+    assert dev["spearman_rho"] == pytest.approx(1.0)
+    # Explicit opt-out scores the real (zero) predictor.
+    raw = ev.evaluate_on_device(severity_fallback=False)
+    assert not raw["severity_is_fallback"]
+    assert raw["mae"] > 0.0
+
+
 def test_load_at_different_resolution(setup, tmp_path):
     """image_size override: pos-embed bilinearly transferred to the new
     grid; the rebuilt model runs at the new resolution."""

@@ -1,6 +1,8 @@
 """Ablation + baseline harnesses on tiny configs."""
 import json
 
+import jax
+
 import numpy as np
 import pytest
 
@@ -191,3 +193,131 @@ def test_baseline_fps_step_policy(loaders):
                       deterministic=True)
     probs = jax.nn.softmax(out["cls_logits"], -1)
     assert np.allclose(np.asarray(probs).sum(-1), 1.0, atol=1e-2)
+
+
+def test_ablation_evaluates_ema_weights(loaders, monkeypatch):
+    """With EMA on, the ablation must evaluate the EMA tree (the weights
+    validation selected), not the raw params — the reported variant
+    metrics must agree with scripts/evaluate.py reloading the same
+    best_model checkpoint (which defaults to ema_params)."""
+    import copy
+
+    import rovit_kan_tpu.experiments.ablation as ablation_mod
+    from rovit_kan_tpu.utils.checkpoint import load_checkpoint
+
+    cfg, tmp, train_l, val_l, test_l = loaders
+    cfg = copy.deepcopy(cfg)
+    cfg.train.ema_decay = 0.9   # aggressive: EMA differs from raw after 1 ep
+
+    captured = {}
+    real_eval = ablation_mod.Evaluator
+
+    class CapturingEvaluator(real_eval):
+        def __init__(self, model, params, *a, **kw):
+            captured["params"] = params
+            super().__init__(model, params, *a, **kw)
+
+    monkeypatch.setattr(ablation_mod, "Evaluator", CapturingEvaluator)
+    out = tmp / "ablation_ema"
+    exp = AblationExperiment(cfg, train_l, val_l, test_l, out,
+                             variants=[AblationConfig("full_model")],
+                             run_fps=False)
+    exp.run_single_experiment(AblationConfig("full_model"), epochs=1)
+
+    ck = load_checkpoint(out / "full_model" / "best_model")
+    ema = ck["ema_params"]
+    raw = ck["params"]
+    got = jax.tree.leaves(captured["params"])
+    # The evaluated tree IS the checkpoint's EMA tree, not the raw one.
+    for g, e in zip(got, jax.tree.leaves(ema)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(e), atol=1e-6)
+    assert any(not np.allclose(np.asarray(r), np.asarray(e), atol=1e-6)
+               for r, e in zip(jax.tree.leaves(raw), jax.tree.leaves(ema)))
+
+
+def test_ablation_resumes_preempt_checkpoint(loaders, capsys):
+    """A preempted variant resumes from its preempt_model checkpoint on the
+    next run instead of restarting at epoch 1 (and the completed run then
+    clears the stale checkpoint)."""
+    import copy
+
+    from rovit_kan_tpu.models.rovit_kan import build_model
+    from rovit_kan_tpu.training.trainer import Trainer
+
+    cfg, tmp, train_l, val_l, test_l = loaders
+    cfg = copy.deepcopy(cfg)
+    out = tmp / "ablation_preempt"
+    variant = AblationConfig("full_model")
+    exp = AblationExperiment(cfg, train_l, val_l, test_l, out,
+                             variants=[variant], run_fps=False)
+
+    # Forge a preemption: run one epoch through a Trainer wired to the
+    # exact per-variant config, saved under the preempt name.
+    vcfg = exp._exp_config(variant)
+    (out / "full_model").mkdir(parents=True, exist_ok=True)
+    model = build_model(vcfg)
+    tr = Trainer(model, train_l, val_l, vcfg, focal_alpha=None, seed=exp.seed)
+    fit = tr.fit(epochs=1)
+    tr.save_checkpoint(fit["state"], epoch=1,
+                       metrics={"total_loss": float("inf")},
+                       name="preempt_model")
+    assert (out / "full_model" / "preempt_model").exists()
+    capsys.readouterr()               # flush the forged run's output
+
+    m = exp.run_single_experiment(variant, epochs=2)
+    outtxt = capsys.readouterr().out
+    assert "preemption checkpoint found" in outtxt
+    assert "Epoch   2" in outtxt          # continued at epoch 2 ...
+    assert "Epoch   1" not in outtxt      # ... not redone from scratch
+    assert 0.0 <= m["accuracy"] <= 1.0
+    # Completed run cleared the stale preemption checkpoint.
+    assert not (out / "full_model" / "preempt_model").exists()
+
+
+def test_baseline_train_step_masks_invalid_rows(loaders):
+    """Labels of padded (valid=0) rows must not change the loss, accuracy,
+    or updated params — a non-drop_last tail batch trains only on its real
+    samples."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from rovit_kan_tpu.models.baselines import (
+        BACKBONES, BaselineModel, ResNet50)
+
+    BACKBONES["resnet_test"] = partial(ResNet50, stage_sizes=(1, 1, 1, 1))
+    try:
+        cfg, tmp, train_l, val_l, test_l = loaders
+        exp = BaselineExperiment(cfg, train_l, val_l, test_l, tmp / "mask",
+                                 epochs=1, run_fps=False)
+        model = BaselineModel(backbone_name="resnet_test", num_classes=4)
+        train_step, _, tx = exp._make_steps(model)
+
+        rng = jax.random.PRNGKey(0)
+        variables = dict(model.init(rng, jnp.zeros((1, 32, 32, 3))))
+        opt_state = tx.init(variables["params"])
+
+        imgs = np.random.RandomState(0).randint(
+            0, 256, (8, 32, 32, 3)).astype(np.uint8)
+        valid = np.array([1, 1, 1, 1, 0, 0, 0, 0], np.float32)
+        base = {"images": imgs, "labels": np.zeros(8, np.int32),
+                "valid": valid}
+        flip = dict(base, labels=np.array([0, 0, 0, 0, 3, 3, 3, 3],
+                                          np.int32))
+
+        import copy as _c
+        v1, o1, _, m1 = train_step(_c.deepcopy(variables),
+                                   _c.deepcopy(opt_state), rng, base)
+        v2, o2, _, m2 = train_step(_c.deepcopy(variables),
+                                   _c.deepcopy(opt_state), rng, flip)
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]),
+                                                  abs=1e-6)
+        assert float(m1["accuracy"]) == pytest.approx(
+            float(m2["accuracy"]), abs=1e-6)
+        for a, b in zip(jax.tree.leaves(v1["params"]),
+                        jax.tree.leaves(v2["params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+    finally:
+        BACKBONES.pop("resnet_test", None)
