@@ -14,6 +14,10 @@ from rovit_kan_tpu.parallel.tensor import (  # noqa: F401
     shard_params,
     shard_state,
 )
+from rovit_kan_tpu.parallel.fsdp import (  # noqa: F401
+    fsdp_param_specs,
+    sharded_size,
+)
 from rovit_kan_tpu.parallel.pipeline import (  # noqa: F401
     is_pipeline_mesh,
     make_pipeline_mesh,

@@ -57,6 +57,11 @@ def main():
                         "SP via GSPMD; parallel/tensor.py::seq_sharding) — "
                         "LN/residual work and activations shard S-ways, "
                         "all-reduces become reduce-scatter + all-gather")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3: shard params, grads, optimizer moments "
+                        "and EMA over the data axis instead of "
+                        "replicating (parallel/fsdp.py; composes with "
+                        "--tensor_parallel into the FSDP+TP hybrid)")
     p.add_argument("--moe_experts", type=int, default=0,
                    help="turn every 2nd backbone block's FFN into an "
                         "expert-choice MoE with N experts (models/moe.py; "
@@ -116,6 +121,11 @@ def main():
             raise SystemExit("--expert_parallel uses its own "
                              "('data', 'expert') mesh and does not compose "
                              "with --tensor_parallel/--pipeline_parallel")
+    if args.fsdp and (args.pipeline_parallel > 1
+                      or args.expert_parallel > 1):
+        raise SystemExit("--fsdp composes with --tensor_parallel only; "
+                         "pipeline/expert parallelism keep their own "
+                         "stacked param layouts (parallel/fsdp.py)")
     if args.moe_experts > 1 and args.pipeline_parallel > 1:
         raise SystemExit("--moe_experts does not compose with "
                          "--pipeline_parallel: the GPipe stage scan "
@@ -271,6 +281,11 @@ def main():
                   f"{cfg.model.moe_experts} experts)")
         else:
             mesh = make_mesh(args.devices)
+            if args.fsdp:
+                param_specs = "fsdp"  # resolved to a spec tree below
+        if args.fsdp:
+            print(f"FSDP: params/grads/moments/EMA sharded over "
+                  f"data={mesh.devices.shape[0]} (ZeRO-3)")
         if args.device_cache:
             from rovit_kan_tpu.data.device_cache import device_cache_loaders
             train_l, val_l, test_l = device_cache_loaders(
@@ -300,8 +315,22 @@ def main():
                               3), np.float32)
             shapes = jax.eval_shape(model.init, jax.random.PRNGKey(seed),
                                     dummy)["params"]
-            specs = (moe_param_specs(shapes) if param_specs == "moe"
-                     else mk_specs(shapes))
+            if args.fsdp:
+                from jax.sharding import PartitionSpec as PSpec
+
+                from rovit_kan_tpu.parallel.fsdp import (
+                    fsdp_param_specs, sharded_size)
+                specs = fsdp_param_specs(shapes, mesh,
+                                         tp=(param_specs is True))
+                full = sharded_size(shapes, jax.tree.map(
+                    lambda _: PSpec(), shapes), mesh)
+                print(f"FSDP state/device: params "
+                      f"{sharded_size(shapes, specs, mesh) / 1e6:.1f} MB "
+                      f"(replicated: {full / 1e6:.1f} MB); AdamW moments "
+                      f"and EMA shard identically")
+            else:
+                specs = (moe_param_specs(shapes) if param_specs == "moe"
+                         else mk_specs(shapes))
         trainer = Trainer(model, train_l, val_l, cfg, logger=logger,
                           focal_alpha=focal_alpha, mesh=mesh, seed=seed,
                           param_specs=specs)
