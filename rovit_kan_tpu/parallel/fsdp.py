@@ -71,6 +71,11 @@ def fsdp_param_specs(params: Any, mesh: Mesh, *, axis: str = DATA_AXIS,
     n = dict(zip(mesh.axis_names, mesh.devices.shape)).get(axis)
     if n is None:
         raise ValueError(f"mesh {mesh.axis_names} has no '{axis}' axis")
+    if tp and "model" not in mesh.axis_names:
+        raise ValueError(
+            f"tp=True needs a 'model' axis on the mesh (got "
+            f"{mesh.axis_names}); the Megatron rules would emit specs "
+            f"referencing a missing axis")
 
     def trim(entries):
         while entries and entries[-1] is None:

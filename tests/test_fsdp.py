@@ -33,6 +33,7 @@ def _setup(mesh, specs_fn=None):
     cfg.flags.mixed_precision = False
     cfg.flags.use_mixup = False          # keep the step deterministic
     cfg.flags.use_cutmix = False
+    cfg.train.ema_decay = 0.999          # EMA tree must shard too
     model = _model()
     specs = None
     if specs_fn is not None:
@@ -90,6 +91,13 @@ def test_fsdp_specs_require_axis():
         fsdp_param_specs({}, mesh, axis="absent")
 
 
+def test_fsdp_tp_requires_model_axis():
+    """tp=True on a 1-D data mesh must fail loudly, not emit specs that
+    KeyError deep inside shard_params."""
+    with pytest.raises(ValueError, match="'model' axis"):
+        fsdp_param_specs({}, make_mesh(8), tp=True)
+
+
 def test_fsdp_state_layout():
     """Params, optax moments AND EMA live sharded over 'data'."""
     mesh = make_mesh(8)
@@ -105,10 +113,9 @@ def test_fsdp_state_layout():
                if getattr(l, "shape", None) == qkv.shape]
     assert moments and all(
         not m.sharding.is_fully_replicated for m in moments)
-    if state.ema_params is not None:
-        eq = state.ema_params["backbone"]["blocks_0"]["attn"]["qkv"][
-            "kernel"]
-        assert not eq.sharding.is_fully_replicated
+    assert state.ema_params is not None
+    eq = state.ema_params["backbone"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert not eq.sharding.is_fully_replicated
     assert state.step.sharding.is_fully_replicated
 
 
@@ -154,9 +161,8 @@ def test_fsdp_tp_hybrid_step():
                          jnp.float32(1.0), jnp.float32(0.0))
     assert float(m1["total_loss"]) == pytest.approx(
         float(m["total_loss"]), rel=1e-5)
-    p1 = np.asarray(jax.tree.leaves(s1.params)[0])
-    p = np.asarray(jax.tree.leaves(s.params)[0])
-    np.testing.assert_allclose(p1, p, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
     qkv = s.params["backbone"]["blocks_0"]["attn"]["qkv"]["kernel"]
     assert not qkv.sharding.is_fully_replicated
     # Both mesh axes used: each shard is (32/4, 96/2).
