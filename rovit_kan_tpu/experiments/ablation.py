@@ -127,8 +127,9 @@ class AblationExperiment:
         trainer = Trainer(model, self.train_loader, self.val_loader, cfg,
                           logger=logger, focal_alpha=self.focal_alpha,
                           mesh=self.mesh, seed=self.seed)
+        from rovit_kan_tpu.utils.checkpoint import is_finalized
         preempt = exp_dir / "preempt_model"
-        resumed = preempt.exists()
+        resumed = is_finalized(preempt)   # never restore a torn write
         if resumed:
             # A previous run of this variant was preempted mid-training:
             # continue from its epoch-boundary checkpoint instead of

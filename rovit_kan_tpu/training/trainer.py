@@ -635,7 +635,10 @@ class Trainer:
                     # Deep-copy: the live state's buffers are donated to the
                     # next train step and would be deleted under best_state.
                     best_state = jax.tree.map(lambda x: x.copy(), state)
-                    self.save_checkpoint(state, epoch, val_m)
+                    # Async: the orbax write overlaps the next epochs;
+                    # fit joins it before returning (and save_checkpoint
+                    # itself joins before overwriting the same path).
+                    self.save_checkpoint(state, epoch, val_m, block=False)
                 else:
                     self.epochs_without_improvement += 1
                     if self.epochs_without_improvement \
@@ -671,6 +674,11 @@ class Trainer:
             if meta.exists():
                 meta.unlink()
 
+        # Join any in-flight async best_model write before returning —
+        # callers read the checkpoint immediately (final eval, serving).
+        from rovit_kan_tpu.utils.checkpoint import wait_for_checkpoints
+        wait_for_checkpoints()
+
         self.history = history
         # "improved" tells resumed callers whether best_state is really the
         # best: a resume from preempt_model starts fit with the PREEMPTED
@@ -687,7 +695,8 @@ class Trainer:
         return d
 
     def save_checkpoint(self, state: TrainState, epoch: int,
-                        metrics: Dict[str, float], name: str = "best_model"):
+                        metrics: Dict[str, float], name: str = "best_model",
+                        block: bool = True):
         from rovit_kan_tpu.utils.checkpoint import save_checkpoint
         params, opt_state, ema = (state.params, state.opt_state,
                                   state.ema_params)
@@ -704,7 +713,8 @@ class Trainer:
                         best_val_loss=self.best_val_loss, metrics=metrics,
                         config=self.config, ema_params=ema,
                         epochs_without_improvement=(
-                            self.epochs_without_improvement))
+                            self.epochs_without_improvement),
+                        block=block)
 
     def load_checkpoint(self, name: str = "best_model"):
         from rovit_kan_tpu.utils.checkpoint import load_checkpoint

@@ -283,7 +283,15 @@ def main():
             mesh = make_mesh(args.devices)
             if args.fsdp:
                 param_specs = "fsdp"  # resolved to a spec tree below
-        if args.fsdp:
+        if args.fsdp and mesh.devices.shape[0] <= 1:
+            # Nothing to shard over; avoid silently switching the
+            # optimizer off its flat single-vector fast path.
+            print("FSDP: data axis has 1 device — nothing to shard, "
+                  "running plain (replicated) instead")
+            args.fsdp = False
+            if param_specs == "fsdp":
+                param_specs = None
+        elif args.fsdp:
             print(f"FSDP: params/grads/moments/EMA sharded over "
                   f"data={mesh.devices.shape[0]} (ZeRO-3)")
         if args.device_cache:
@@ -339,10 +347,21 @@ def main():
         ck_dir = cfg.paths.checkpoints_dir
         # A preemption checkpoint (SIGTERM mid-run) is by construction the
         # LATEST state — prefer it over best_model; a completed fit deletes
-        # it, so its presence always means "interrupted run".
-        resume_name = ("preempt_model" if (ck_dir / "preempt_model").exists()
-                       else "best_model")
-        if args.resume and (ck_dir / resume_name).exists():
+        # it, so its presence always means "interrupted run". Either name
+        # must be a COMMITTED orbax checkpoint: a hard crash mid-write
+        # (best_model saves are async) leaves an unfinalized torso that
+        # restore would choke on — fall through rather than load it.
+        from rovit_kan_tpu.utils.checkpoint import is_finalized
+        resume_name = None
+        if is_finalized(ck_dir / "preempt_model"):
+            resume_name = "preempt_model"
+        elif is_finalized(ck_dir / "best_model"):
+            resume_name = "best_model"
+        elif args.resume and ((ck_dir / "preempt_model").exists()
+                              or (ck_dir / "best_model").exists()):
+            print("WARNING: checkpoint directory holds only torn "
+                  "(unfinalized) checkpoints — starting fresh")
+        if args.resume and resume_name:
             state, start_epoch = trainer.resume(resume_name)
             print(f"Resumed from epoch {start_epoch - 1} ({resume_name})")
         elif cfg.model.pretrained_npz:

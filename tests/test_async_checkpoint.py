@@ -1,0 +1,54 @@
+"""Async (overlapped) orbax checkpointing: save(block=False) returns
+after host staging and the write completes on a background thread;
+wait_for_checkpoints joins it; is_finalized detects torn writes so
+resume logic never restores a torso (scripts/train.py, ablation.py)."""
+import jax.numpy as jnp
+import numpy as np
+
+from rovit_kan_tpu.utils.checkpoint import (
+    is_finalized, load_checkpoint, save_checkpoint, wait_for_checkpoints)
+
+
+def _params(seed=0):
+    rng = np.random.RandomState(seed)
+    return {"w": jnp.asarray(rng.randn(16, 16).astype(np.float32)),
+            "b": jnp.asarray(rng.randn(16).astype(np.float32))}
+
+
+def test_async_save_roundtrip(tmp_path):
+    p = _params()
+    save_checkpoint(tmp_path / "ck", p, epoch=3, block=False)
+    wait_for_checkpoints()
+    assert is_finalized(tmp_path / "ck")
+    ck = load_checkpoint(tmp_path / "ck")
+    np.testing.assert_array_equal(np.asarray(p["w"]), ck["params"]["w"])
+    assert ck["epoch"] == 3
+
+
+def test_async_overwrite_waits_for_inflight_write(tmp_path):
+    """Back-to-back saves to the SAME path: the second must join the
+    first before rmtree'ing it (else it deletes a directory mid-write)."""
+    save_checkpoint(tmp_path / "ck", _params(0), epoch=1, block=False)
+    save_checkpoint(tmp_path / "ck", _params(1), epoch=2, block=False)
+    wait_for_checkpoints()
+    ck = load_checkpoint(tmp_path / "ck")
+    np.testing.assert_array_equal(
+        np.asarray(_params(1)["w"]), ck["params"]["w"])
+    assert ck["epoch"] == 2
+
+
+def test_load_joins_inflight_write(tmp_path):
+    """Same-process read-after-async-write: load_checkpoint must see the
+    committed data without an explicit wait_for_checkpoints."""
+    save_checkpoint(tmp_path / "ck", _params(7), block=False)
+    ck = load_checkpoint(tmp_path / "ck")
+    np.testing.assert_array_equal(
+        np.asarray(_params(7)["w"]), ck["params"]["w"])
+
+
+def test_is_finalized_rejects_non_checkpoints(tmp_path):
+    assert not is_finalized(tmp_path / "missing")
+    torn = tmp_path / "torn"
+    torn.mkdir()                       # exists, but no orbax commit marker
+    (torn / "some_array").write_bytes(b"partial")
+    assert not is_finalized(torn)
