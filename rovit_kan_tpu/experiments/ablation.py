@@ -110,10 +110,14 @@ class AblationExperiment:
         exp_dir = self.output_dir / variant.name
         exp_dir.mkdir(parents=True, exist_ok=True)
 
-        # Resume-by-skip (reference ablation.py:208-231).
+        # Resume-by-skip (reference ablation.py:208-231). The checkpoint
+        # must be a COMMITTED orbax dir (promote_staging adopts a
+        # committed-but-unswapped async write first) — a torn/foreign dir
+        # must not mark the variant complete.
+        from rovit_kan_tpu.utils.checkpoint import promote_staging
         cached = exp_dir / "test_metrics.json"
         ckpt = exp_dir / "best_model"
-        if cached.exists() and ckpt.exists():
+        if cached.exists() and promote_staging(ckpt):
             print(f"[{variant.name}] cached results found — skipping retrain")
             metrics = json.loads(cached.read_text())
             self.results[variant.name] = metrics
@@ -127,9 +131,8 @@ class AblationExperiment:
         trainer = Trainer(model, self.train_loader, self.val_loader, cfg,
                           logger=logger, focal_alpha=self.focal_alpha,
                           mesh=self.mesh, seed=self.seed)
-        from rovit_kan_tpu.utils.checkpoint import is_finalized
         preempt = exp_dir / "preempt_model"
-        resumed = is_finalized(preempt)   # never restore a torn write
+        resumed = promote_staging(preempt)   # never restore a torn write
         if resumed:
             # A previous run of this variant was preempted mid-training:
             # continue from its epoch-boundary checkpoint instead of
@@ -153,7 +156,7 @@ class AblationExperiment:
         # Evaluate the same weights model selection used: the EMA tree when
         # EMA is on (val_epoch scores eval_params; evaluating the raw tree
         # would report metrics for weights that were never validated).
-        if resumed and not fit["improved"] and ckpt.exists():
+        if resumed and not fit["improved"] and promote_staging(ckpt):
             # Resumed from a preemption checkpoint and no epoch beat the
             # restored best_val_loss: the in-memory best_state is the
             # preemption-time state — the true best lives on disk.

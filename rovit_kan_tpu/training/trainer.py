@@ -668,11 +668,15 @@ class Trainer:
             # --resume with an older state.
             import shutil
             stale = self._ckpt_dir() / "preempt_model"
-            if stale.exists():
-                shutil.rmtree(stale)
-            meta = stale.with_name(stale.name + ".meta.json")
-            if meta.exists():
-                meta.unlink()
+            # Also the staging dir (<name>.next) — a committed-but-
+            # unswapped stale preempt would otherwise be promoted by the
+            # next --resume and hijack it with an older state.
+            for d in (stale, stale.with_name(stale.name + ".next")):
+                if d.exists():
+                    shutil.rmtree(d)
+                meta = d.with_name(d.name + ".meta.json")
+                if meta.exists():
+                    meta.unlink()
 
         # Join any in-flight async best_model write before returning —
         # callers read the checkpoint immediately (final eval, serving).

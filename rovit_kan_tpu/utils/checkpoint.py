@@ -4,10 +4,23 @@ TPU-native equivalent of the reference's single-file torch checkpoint
 (`/root/reference/training/trainer.py:311-340`: model/optimizer/scheduler
 state + epoch + best_val_loss + metrics + config). Orbax writes sharding-
 aware, async-capable checkpoints that restore directly onto a device mesh.
+
+Async + durability protocol: ``save_checkpoint(block=False)`` returns
+once the arrays are staged to host; the orbax write proceeds on a
+background thread while training continues. The write targets a STAGING
+name (``<name>.next``) so the previously committed checkpoint survives
+the whole window — only after orbax commits (atomic tmp-dir + rename)
+is the staging dir swapped into the final name (at the next save, at
+:func:`wait_for_checkpoints`, or on :func:`load_checkpoint`). The meta
+sidecar moves in the same swap, so it never describes a checkpoint that
+doesn't exist. A crash at ANY point leaves either the old committed
+checkpoint, or a committed staging dir that :func:`promote_staging`
+adopts on the next run — never a restorable torso, never nothing.
 """
 from __future__ import annotations
 
 import json
+import shutil
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -17,6 +30,12 @@ import orbax.checkpoint as ocp
 
 
 _CKPTR: Optional[ocp.StandardCheckpointer] = None
+_PYTREE_CKPTR: Optional[ocp.PyTreeCheckpointer] = None
+# final-path str -> staging Path, for async saves whose commit->final
+# swap is still outstanding.
+_PENDING: Dict[str, Path] = {}
+
+_STAGE_SUFFIX = ".next"
 
 
 def _checkpointer() -> ocp.StandardCheckpointer:
@@ -30,23 +49,52 @@ def _checkpointer() -> ocp.StandardCheckpointer:
     return _CKPTR
 
 
+def _stage_for(path: Path) -> Path:
+    return path.with_name(path.name + _STAGE_SUFFIX)
+
+
+def _meta_for(path: Path) -> Path:
+    return path.parent / (path.name + ".meta.json")
+
+
+def _swap_into_place(final: Path, stage: Path) -> None:
+    """Replace ``final`` with the committed ``stage`` (+ its sidecar)."""
+    if final.exists():
+        shutil.rmtree(final)
+    stage.rename(final)
+    stage_meta = _meta_for(stage)
+    if stage_meta.exists():
+        stage_meta.replace(_meta_for(final))
+
+
+def _complete_pending() -> None:
+    """Swap every committed staging dir into its final name. Call only
+    after ``wait_until_finished`` (the writes must have either committed
+    or raised). Multi-process: only process 0 touches the filesystem."""
+    for final_s in list(_PENDING):
+        stage = _PENDING.pop(final_s)
+        if jax.process_index() == 0 and is_finalized(stage):
+            _swap_into_place(Path(final_s), stage)
+
+
 def wait_for_checkpoints() -> None:
-    """Join any in-flight async checkpoint write (no-op when none).
-    The Trainer calls this at the end of ``fit`` so readers (evaluator,
-    serving, export) always see committed checkpoints."""
+    """Join any in-flight async checkpoint write and finish its
+    commit->final swap (no-op when none). The Trainer calls this at the
+    end of ``fit`` so readers (evaluator, serving, export) always see
+    committed checkpoints under their final names."""
     if _CKPTR is not None:
         _CKPTR.wait_until_finished()
+    _complete_pending()
 
 
 def is_finalized(path) -> bool:
     """True iff ``path`` is a committed (fully written) orbax checkpoint.
-    Orbax commits via atomic tmp-dir + rename, so an interrupted async
-    write leaves either a ``*.orbax-checkpoint-tmp`` sibling (never the
-    final name) or — crash between this module's rmtree and the rename —
-    nothing; a directory that exists under the final name but lacks the
-    orbax metadata (e.g. hand-made or foreign) is also rejected. Resume
-    logic uses this to never restore a torso (scripts/train.py,
-    experiments/ablation.py)."""
+    Orbax commits via atomic tmp-dir + rename, so an interrupted write
+    leaves a ``*.orbax-checkpoint-tmp`` sibling, never the final name; a
+    directory that exists under the name but lacks the orbax metadata
+    (hand-made or foreign) is also rejected. Resume logic combines this
+    with :func:`promote_staging` to never restore a torso
+    (scripts/train.py, experiments/ablation.py)."""
     path = Path(path).absolute()
     try:
         return (path.exists()
@@ -54,6 +102,20 @@ def is_finalized(path) -> bool:
                 and ocp.utils.is_checkpoint_finalized(path))
     except (ValueError, OSError):
         return False
+
+
+def promote_staging(path) -> bool:
+    """Crash recovery: if ``path`` is not a committed checkpoint but a
+    committed ``<path>.next`` staging dir exists (the crash landed
+    between orbax's commit and this module's swap), promote the staging
+    dir — its data is strictly newer. Returns whether ``path`` is a
+    committed checkpoint afterwards. Call before deciding what to
+    resume from (``train.py --resume`` and the ablation runner do)."""
+    path = Path(path).absolute()
+    stage = _stage_for(path)
+    if not is_finalized(path) and is_finalized(stage):
+        _swap_into_place(path, stage)
+    return is_finalized(path)
 
 
 def _to_jsonable(x):
@@ -83,8 +145,10 @@ def save_checkpoint(path, params: Any, opt_state: Any = None,
     ``block=False`` makes the save asynchronous: the call returns once
     the arrays are staged to host and the write proceeds on a background
     thread while training continues (the Trainer's per-epoch best_model
-    saves use this). Join with :func:`wait_for_checkpoints`; a torn
-    async write is detectable via :func:`is_finalized`.
+    saves use this). The write goes to a ``<name>.next`` staging dir and
+    is swapped into the final name only after commit — the previously
+    committed checkpoint stays restorable throughout (module docstring).
+    Join with :func:`wait_for_checkpoints`.
     """
     path = Path(path).absolute()
     ckptr = _checkpointer()
@@ -93,24 +157,38 @@ def save_checkpoint(path, params: Any, opt_state: Any = None,
         tree["opt_state"] = opt_state
     if ema_params is not None:
         tree["ema_params"] = ema_params
-    # Join any in-flight async write FIRST: orbax commits via atomic
-    # tmp-dir + rename, so an uncommitted prior save to this path is
-    # invisible to exists() right now but materializes mid-save and
-    # orbax then refuses the destination.
+    # Join + finish any earlier async save first (possibly to this same
+    # path): the staging dir below must be free, and a committed earlier
+    # write must land under its final name before we stage a newer one.
     ckptr.wait_until_finished()
-    if path.exists():
-        import shutil
-        shutil.rmtree(path)
-    ckptr.save(path, tree)
-    if block:
-        ckptr.wait_until_finished()
+    _complete_pending()
+    stage = _stage_for(path)
+    if stage.exists():
+        # A torso from a crashed write (or an unclaimed committed stage
+        # we are about to supersede with strictly newer data).
+        shutil.rmtree(stage)
+    # Reap orbax tmp-dir torsos from crashed writes in this directory
+    # (cheap scan; nothing is in flight from this process right now).
+    try:
+        for tmp in ocp.utils.tmp_checkpoints(path.parent):
+            shutil.rmtree(path.parent / tmp, ignore_errors=True)
+    except (OSError, ValueError):
+        pass
+    ckptr.save(stage, tree)
+    # Sidecar: written against the STAGING name now (tiny JSON), renamed
+    # to the final name in the same swap as the data — the final meta
+    # never describes an uncommitted checkpoint.
     meta = {"epoch": epoch, "best_val_loss": best_val_loss,
             "epochs_without_improvement": epochs_without_improvement,
             "metrics": _to_jsonable(metrics or {})}
     if config is not None:
         meta["config"] = (config.to_dict() if hasattr(config, "to_dict")
                           else _to_jsonable(config))
-    (path.parent / (path.name + ".meta.json")).write_text(json.dumps(meta))
+    _meta_for(stage).write_text(json.dumps(meta))
+    _PENDING[str(path)] = stage
+    if block:
+        ckptr.wait_until_finished()
+        _complete_pending()
 
 
 def load_checkpoint(path, target: Any = None) -> Dict[str, Any]:
@@ -119,18 +197,23 @@ def load_checkpoint(path, target: Any = None) -> Dict[str, Any]:
     with matching shardings/dtypes; without a target, everything restores as
     host numpy, so a checkpoint written on any device mesh loads on any
     other topology (single chip, CPU, different mesh)."""
-    # Same-process read-after-async-write safety.
+    global _PYTREE_CKPTR
+    # Same-process read-after-async-write safety + cross-run crash
+    # recovery (adopt a committed-but-unswapped staging dir).
     wait_for_checkpoints()
     path = Path(path).absolute()
+    promote_staging(path)
     if target is not None:
-        tree = ocp.StandardCheckpointer().restore(path, target=target)
+        tree = _checkpointer().restore(path, target=target)
     else:
-        ckptr = ocp.PyTreeCheckpointer()
+        if _PYTREE_CKPTR is None:
+            _PYTREE_CKPTR = ocp.PyTreeCheckpointer()
+        ckptr = _PYTREE_CKPTR
         meta = ckptr.metadata(path).item_metadata
         meta_tree = meta.tree if hasattr(meta, "tree") else meta
         restore_args = jax.tree.map(
             lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree)
         tree = ckptr.restore(path, restore_args=restore_args)
-    meta_path = path.parent / (path.name + ".meta.json")
+    meta_path = _meta_for(path)
     meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
     return {**tree, **meta}

@@ -286,8 +286,10 @@ def main():
         if args.fsdp and mesh.devices.shape[0] <= 1:
             # Nothing to shard over; avoid silently switching the
             # optimizer off its flat single-vector fast path.
-            print("FSDP: data axis has 1 device — nothing to shard, "
-                  "running plain (replicated) instead")
+            print("FSDP: data axis has 1 device — nothing to shard over; "
+                  "params stay "
+                  + ("tensor-parallel sharded (Megatron specs only)"
+                     if param_specs else "replicated"))
             args.fsdp = False
             if param_specs == "fsdp":
                 param_specs = None
@@ -351,11 +353,11 @@ def main():
         # must be a COMMITTED orbax checkpoint: a hard crash mid-write
         # (best_model saves are async) leaves an unfinalized torso that
         # restore would choke on — fall through rather than load it.
-        from rovit_kan_tpu.utils.checkpoint import is_finalized
+        from rovit_kan_tpu.utils.checkpoint import promote_staging
         resume_name = None
-        if is_finalized(ck_dir / "preempt_model"):
+        if promote_staging(ck_dir / "preempt_model"):
             resume_name = "preempt_model"
-        elif is_finalized(ck_dir / "best_model"):
+        elif promote_staging(ck_dir / "best_model"):
             resume_name = "best_model"
         elif args.resume and ((ck_dir / "preempt_model").exists()
                               or (ck_dir / "best_model").exists()):

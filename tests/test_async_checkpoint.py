@@ -2,11 +2,14 @@
 after host staging and the write completes on a background thread;
 wait_for_checkpoints joins it; is_finalized detects torn writes so
 resume logic never restores a torso (scripts/train.py, ablation.py)."""
+import json
+
 import jax.numpy as jnp
 import numpy as np
 
 from rovit_kan_tpu.utils.checkpoint import (
-    is_finalized, load_checkpoint, save_checkpoint, wait_for_checkpoints)
+    is_finalized, load_checkpoint, promote_staging, save_checkpoint,
+    wait_for_checkpoints)
 
 
 def _params(seed=0):
@@ -52,3 +55,43 @@ def test_is_finalized_rejects_non_checkpoints(tmp_path):
     torn.mkdir()                       # exists, but no orbax commit marker
     (torn / "some_array").write_bytes(b"partial")
     assert not is_finalized(torn)
+
+
+def test_old_checkpoint_survives_async_overwrite_window(tmp_path):
+    """Durability: while an async overwrite is pending (before any join),
+    the previously committed checkpoint is still the one under the final
+    name — a crash in that window loses nothing."""
+    save_checkpoint(tmp_path / "ck", _params(0), epoch=1, block=True)
+    save_checkpoint(tmp_path / "ck", _params(1), epoch=2, block=False)
+    # No join yet: the final name must still be the committed epoch-1
+    # checkpoint (the new write targets the ck.next staging dir).
+    assert is_finalized(tmp_path / "ck")
+    meta = json.loads((tmp_path / "ck.meta.json").read_text())
+    assert meta["epoch"] == 1
+    wait_for_checkpoints()             # swap happens here
+    meta = json.loads((tmp_path / "ck.meta.json").read_text())
+    assert meta["epoch"] == 2
+    ck = load_checkpoint(tmp_path / "ck")
+    np.testing.assert_array_equal(
+        np.asarray(_params(1)["w"]), ck["params"]["w"])
+
+
+def test_promote_staging_adopts_committed_orphan(tmp_path):
+    """Crash between orbax's commit and the swap leaves a committed
+    ck.next and (possibly) no final ck — promote_staging adopts it."""
+    import shutil
+    save_checkpoint(tmp_path / "ck", _params(3), epoch=5, block=True)
+    # Fabricate the crash residue: final gone, committed staging present.
+    (tmp_path / "ck").rename(tmp_path / "ck.next")
+    (tmp_path / "ck.meta.json").rename(tmp_path / "ck.next.meta.json")
+    assert not is_finalized(tmp_path / "ck")
+    assert promote_staging(tmp_path / "ck")
+    ck = load_checkpoint(tmp_path / "ck")
+    np.testing.assert_array_equal(
+        np.asarray(_params(3)["w"]), ck["params"]["w"])
+    assert ck["epoch"] == 5
+    # A later committed final must NOT be displaced by a stale staging.
+    shutil.copytree(tmp_path / "ck", tmp_path / "ck.next")
+    save_checkpoint(tmp_path / "ck", _params(4), epoch=6, block=True)
+    assert promote_staging(tmp_path / "ck")
+    assert load_checkpoint(tmp_path / "ck")["epoch"] == 6
