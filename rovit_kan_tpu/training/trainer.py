@@ -664,19 +664,10 @@ class Trainer:
 
         if not preempted:
             # A completed (or early-stopped) fit invalidates any stale
-            # preemption checkpoint — leaving it would hijack a later
-            # --resume with an older state.
-            import shutil
-            stale = self._ckpt_dir() / "preempt_model"
-            # Also the staging dir (<name>.next) — a committed-but-
-            # unswapped stale preempt would otherwise be promoted by the
-            # next --resume and hijack it with an older state.
-            for d in (stale, stale.with_name(stale.name + ".next")):
-                if d.exists():
-                    shutil.rmtree(d)
-                meta = d.with_name(d.name + ".meta.json")
-                if meta.exists():
-                    meta.unlink()
+            # preemption checkpoint (and its staging dir/sidecars) —
+            # leaving it would hijack a later --resume with older state.
+            from rovit_kan_tpu.utils.checkpoint import discard_staging
+            discard_staging(self._ckpt_dir() / "preempt_model")
 
         # Join any in-flight async best_model write before returning —
         # callers read the checkpoint immediately (final eval, serving).

@@ -14,8 +14,12 @@ is the staging dir swapped into the final name (at the next save, at
 :func:`wait_for_checkpoints`, or on :func:`load_checkpoint`). The meta
 sidecar moves in the same swap, so it never describes a checkpoint that
 doesn't exist. A crash at ANY point leaves either the old committed
-checkpoint, or a committed staging dir that :func:`promote_staging`
-adopts on the next run — never a restorable torso, never nothing.
+checkpoint, a committed staging dir (possibly alongside an older
+committed final — the async window can span hours), or a half-swapped
+pair (new data + old sidecar); :func:`promote_staging` adopts or
+repairs all three on the next run — never a restorable torso, never
+nothing. Multi-host: process 0 owns every filesystem mutation, with
+:func:`_barrier` sync points so peers never race it on shared storage.
 """
 from __future__ import annotations
 
@@ -36,6 +40,15 @@ _PYTREE_CKPTR: Optional[ocp.PyTreeCheckpointer] = None
 _PENDING: Dict[str, Path] = {}
 
 _STAGE_SUFFIX = ".next"
+
+
+def _barrier(tag: str) -> None:
+    """Cross-process sync point. Filesystem mutations here are done by
+    process 0 only; every process must wait for them before acting on
+    the directory (multi-host on shared storage)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(tag)
 
 
 def _checkpointer() -> ocp.StandardCheckpointer:
@@ -59,9 +72,15 @@ def _meta_for(path: Path) -> Path:
 
 def _swap_into_place(final: Path, stage: Path) -> None:
     """Replace ``final`` with the committed ``stage`` (+ its sidecar)."""
-    if final.exists():
-        shutil.rmtree(final)
-    stage.rename(final)
+    try:
+        if final.exists():
+            shutil.rmtree(final)
+        stage.rename(final)
+    except FileNotFoundError:
+        # Lost a swap race to a concurrent process (multi-host resume on
+        # shared storage, or a reader's promote racing the trainer): the
+        # winner has already renamed the stage. Nothing left to do.
+        return
     stage_meta = _meta_for(stage)
     if stage_meta.exists():
         stage_meta.replace(_meta_for(final))
@@ -71,10 +90,15 @@ def _complete_pending() -> None:
     """Swap every committed staging dir into its final name. Call only
     after ``wait_until_finished`` (the writes must have either committed
     or raised). Multi-process: only process 0 touches the filesystem."""
+    had_pending = bool(_PENDING)
     for final_s in list(_PENDING):
         stage = _PENDING.pop(final_s)
         if jax.process_index() == 0 and is_finalized(stage):
             _swap_into_place(Path(final_s), stage)
+    if had_pending:
+        # Non-zero processes must not read (or re-stage over) the final
+        # names until process 0's swaps land on shared storage.
+        _barrier("complete-pending")
 
 
 def wait_for_checkpoints() -> None:
@@ -104,18 +128,60 @@ def is_finalized(path) -> bool:
         return False
 
 
+def _meta_epoch(path: Path) -> Optional[int]:
+    try:
+        return int(json.loads(_meta_for(path).read_text())["epoch"])
+    except (OSError, ValueError, TypeError, KeyError):
+        return None
+
+
 def promote_staging(path) -> bool:
-    """Crash recovery: if ``path`` is not a committed checkpoint but a
-    committed ``<path>.next`` staging dir exists (the crash landed
-    between orbax's commit and this module's swap), promote the staging
-    dir — its data is strictly newer. Returns whether ``path`` is a
-    committed checkpoint afterwards. Call before deciding what to
+    """Crash recovery: if a committed ``<path>.next`` staging dir exists,
+    promote it over ``path`` — the protocol guarantees a surviving stage
+    is strictly newer than its sibling final (``save_checkpoint`` deletes
+    the stage before every write, and the swap deletes it on success), so
+    this adopts the stage even when ``path`` itself is a committed
+    checkpoint (the common hard-kill residue: the async write committed,
+    the deferred swap never ran). As a belt-and-braces check the sidecar
+    epochs are compared when both exist, and an older stage is left
+    alone. Also repairs the half-swap torso (crash between the data
+    rename and the sidecar rename: ``path`` holds the new data, the old
+    meta, and an orphan stage sidecar survives). Returns whether ``path``
+    is a committed checkpoint afterwards. Call before deciding what to
     resume from (``train.py --resume`` and the ablation runner do)."""
     path = Path(path).absolute()
     stage = _stage_for(path)
-    if not is_finalized(path) and is_finalized(stage):
-        _swap_into_place(path, stage)
+    stage_meta = _meta_for(stage)
+    if jax.process_index() == 0:
+        if is_finalized(stage):
+            fe, se = _meta_epoch(path), _meta_epoch(stage)
+            final_newer = (is_finalized(path) and fe is not None
+                           and se is not None and fe > se)
+            if not final_newer:
+                _swap_into_place(path, stage)
+        elif (stage_meta.exists() and not stage.exists()
+              and is_finalized(path)):
+            # Half-swap torso: finish the sidecar half of the swap.
+            stage_meta.replace(_meta_for(path))
+    _barrier(f"promote:{path}")
     return is_finalized(path)
+
+
+def discard_staging(path) -> None:
+    """Delete ``path``, its ``<path>.next`` staging dir and both meta
+    sidecars (process 0 only; no-op for whatever doesn't exist). Callers
+    invalidating a checkpoint (e.g. the Trainer deleting a stale
+    preempt_model after a completed fit) must go through this so the
+    staging-name convention lives in one module."""
+    path = Path(path).absolute()
+    if jax.process_index() == 0:
+        for d in (path, _stage_for(path)):
+            if d.exists():
+                shutil.rmtree(d)
+            meta = _meta_for(d)
+            if meta.exists():
+                meta.unlink()
+    _barrier(f"discard:{path}")
 
 
 def _to_jsonable(x):
@@ -163,17 +229,25 @@ def save_checkpoint(path, params: Any, opt_state: Any = None,
     ckptr.wait_until_finished()
     _complete_pending()
     stage = _stage_for(path)
-    if stage.exists():
-        # A torso from a crashed write (or an unclaimed committed stage
-        # we are about to supersede with strictly newer data).
-        shutil.rmtree(stage)
-    # Reap orbax tmp-dir torsos from crashed writes in this directory
-    # (cheap scan; nothing is in flight from this process right now).
-    try:
-        for tmp in ocp.utils.tmp_checkpoints(path.parent):
-            shutil.rmtree(path.parent / tmp, ignore_errors=True)
-    except (OSError, ValueError):
-        pass
+    if jax.process_index() == 0:
+        if stage.exists():
+            # A torso from a crashed write (or an unclaimed committed
+            # stage we are about to supersede with strictly newer data).
+            shutil.rmtree(stage)
+        # Reap orbax tmp-dir torsos from crashed writes in this directory
+        # (cheap scan; nothing is in flight from this process right now).
+        try:
+            for tmp in ocp.utils.tmp_checkpoints(path.parent):
+                # orbax 0.11+ returns TemporaryPath objects whose .get()
+                # is the absolute tmp dir; older versions return names.
+                tmp_path = (tmp.get() if hasattr(tmp, "get")
+                            else path.parent / str(tmp))
+                shutil.rmtree(str(tmp_path), ignore_errors=True)
+        except (OSError, ValueError, TypeError):
+            pass
+    # Every process must see the cleaned directory before orbax starts
+    # writing into it (no-op single-process).
+    _barrier(f"stage-clean:{path}")
     ckptr.save(stage, tree)
     # Sidecar: written against the STAGING name now (tiny JSON), renamed
     # to the final name in the same swap as the data — the final meta
@@ -184,7 +258,8 @@ def save_checkpoint(path, params: Any, opt_state: Any = None,
     if config is not None:
         meta["config"] = (config.to_dict() if hasattr(config, "to_dict")
                           else _to_jsonable(config))
-    _meta_for(stage).write_text(json.dumps(meta))
+    if jax.process_index() == 0:
+        _meta_for(stage).write_text(json.dumps(meta))
     _PENDING[str(path)] = stage
     if block:
         ckptr.wait_until_finished()

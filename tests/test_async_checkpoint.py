@@ -95,3 +95,61 @@ def test_promote_staging_adopts_committed_orphan(tmp_path):
     save_checkpoint(tmp_path / "ck", _params(4), epoch=6, block=True)
     assert promote_staging(tmp_path / "ck")
     assert load_checkpoint(tmp_path / "ck")["epoch"] == 6
+
+
+def test_promote_adopts_newer_stage_over_committed_final(tmp_path):
+    """The dominant hard-kill residue of the async protocol: the write
+    committed to ck.next but the deferred swap never ran, so BOTH the
+    (older) final and the (newer) stage are committed checkpoints.
+    Resume must take the stage, not silently roll the best back."""
+    save_checkpoint(tmp_path / "ck", _params(0), epoch=3, block=True)
+    save_checkpoint(tmp_path / "other", _params(1), epoch=5, block=True)
+    (tmp_path / "other").rename(tmp_path / "ck.next")
+    (tmp_path / "other.meta.json").rename(tmp_path / "ck.next.meta.json")
+    assert is_finalized(tmp_path / "ck")          # old best, committed
+    assert is_finalized(tmp_path / "ck.next")     # newer best, committed
+    assert promote_staging(tmp_path / "ck")
+    ck = load_checkpoint(tmp_path / "ck")
+    assert ck["epoch"] == 5
+    np.testing.assert_array_equal(
+        np.asarray(_params(1)["w"]), ck["params"]["w"])
+
+
+def test_promote_keeps_final_when_stage_sidecar_is_older(tmp_path):
+    """Belt-and-braces epoch guard: a fabricated stage whose sidecar says
+    it is OLDER than the committed final is left alone."""
+    save_checkpoint(tmp_path / "ck", _params(0), epoch=2, block=True)
+    save_checkpoint(tmp_path / "other", _params(1), epoch=7, block=True)
+    (tmp_path / "ck").rename(tmp_path / "ck.next")
+    (tmp_path / "ck.meta.json").rename(tmp_path / "ck.next.meta.json")
+    (tmp_path / "other").rename(tmp_path / "ck")
+    (tmp_path / "other.meta.json").rename(tmp_path / "ck.meta.json")
+    assert promote_staging(tmp_path / "ck")
+    assert load_checkpoint(tmp_path / "ck")["epoch"] == 7
+
+
+def test_promote_repairs_half_swap(tmp_path):
+    """Crash between the swap's data rename and sidecar rename: the final
+    name holds the NEW data but the OLD meta, with an orphan stage
+    sidecar. promote_staging finishes the sidecar half."""
+    save_checkpoint(tmp_path / "ck", _params(5), epoch=5, block=True)
+    new_meta = (tmp_path / "ck.meta.json").read_text()
+    old = json.loads(new_meta)
+    old["epoch"] = 3
+    (tmp_path / "ck.meta.json").write_text(json.dumps(old))
+    (tmp_path / "ck.next.meta.json").write_text(new_meta)
+    assert promote_staging(tmp_path / "ck")
+    assert load_checkpoint(tmp_path / "ck")["epoch"] == 5
+    assert not (tmp_path / "ck.next.meta.json").exists()
+
+
+def test_save_reaps_orbax_tmp_torso(tmp_path):
+    """A hard crash mid-write leaves an orbax *-tmp-* torso; the next
+    save in that directory must reap it (and not crash trying —
+    ocp.utils.tmp_checkpoints returns TemporaryPath objects, not names)."""
+    torso = tmp_path / "ck.orbax-checkpoint-tmp-999"
+    torso.mkdir()
+    (torso / "partial").write_bytes(b"x")
+    save_checkpoint(tmp_path / "ck", _params(2), epoch=1, block=True)
+    assert not torso.exists()
+    assert is_finalized(tmp_path / "ck")
