@@ -113,6 +113,72 @@ _WORKER = textwrap.dedent("""
 """)
 
 
+_CKPT_WORKER = textwrap.dedent("""
+    import sys
+    import jax
+    jax.config.update("jax_num_cpu_devices", 4)
+    jax.config.update("jax_platforms", "cpu")
+    pid, port, repo, shared = (int(sys.argv[1]), sys.argv[2], sys.argv[3],
+                               sys.argv[4])
+    sys.path.insert(0, repo)
+    from rovit_kan_tpu.parallel.multihost import maybe_initialize_distributed
+    assert maybe_initialize_distributed(
+        coordinator_address=f"localhost:{port}", num_processes=2,
+        process_id=pid)
+
+    from pathlib import Path
+    import numpy as np
+    from rovit_kan_tpu.utils.checkpoint import (
+        load_checkpoint, promote_staging, save_checkpoint,
+        wait_for_checkpoints)
+
+    ck = Path(shared) / "ck"
+    params1 = {"w": np.full((8, 8), 1.0, np.float32)}
+    params2 = {"w": np.full((8, 8), 2.0, np.float32)}
+    # Back-to-back async saves to the same path: exercises the proc-0
+    # gated stage cleanup + the stage-clean/complete-pending barriers.
+    save_checkpoint(ck, params1, epoch=1, block=False)
+    save_checkpoint(ck, params2, epoch=2, block=False)
+    wait_for_checkpoints()
+    # promote on BOTH processes (the train.py --resume pattern): proc 0
+    # owns the filesystem, the barrier keeps proc 1 from racing it.
+    assert promote_staging(ck)
+    out = load_checkpoint(ck)
+    assert out["epoch"] == 2, out["epoch"]
+    np.testing.assert_array_equal(out["params"]["w"], params2["w"])
+    print(f"MH_CKPT_OK {pid}", flush=True)
+""")
+
+
+def test_two_process_checkpoint_protocol(tmp_path):
+    """2 real processes sharing one checkpoint dir (the shared-storage
+    multi-host layout): async saves, the commit->final swap, promote and
+    load must all complete with process 0 owning the filesystem and the
+    sync barriers keeping process 1 off its back — no crash, no torn
+    state, both processes read the newest checkpoint."""
+    worker = tmp_path / "ckpt_worker.py"
+    worker.write_text(_CKPT_WORKER)
+    shared = tmp_path / "shared"
+    shared.mkdir()
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
+
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(pid), port, str(REPO),
+         str(shared)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=500)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    assert all(f"MH_CKPT_OK {pid}" in out
+               for pid, out in enumerate(outs)), outs
+    # The staging dir must be gone (swapped into the final name).
+    assert not (shared / "ck.next").exists()
+    assert (shared / "ck.meta.json").exists()
+
+
 def test_two_process_training_step(tmp_path):
     """Spawn 2 real processes, 4 CPU devices each; both must see an
     8-device global mesh, feed only local batch rows, and compute the
