@@ -15,6 +15,8 @@ micro-benchmark. This engine is the deployment-shaped equivalent:
 """
 from __future__ import annotations
 
+import queue
+import threading
 import time
 from typing import Dict, Iterable, Iterator
 
@@ -168,6 +170,124 @@ class InferenceEngine:
             "p95_latency_ms": float(np.percentile(lat, 95) * 1e3),
             "images_per_sec": float(sizes.sum() / lat.sum()),
         }
+
+
+class MicroBatcher:
+    """Dynamic request coalescing in front of an :class:`InferenceEngine`.
+
+    The reference has no serving story at all; the plain HTTP handler in
+    ``scripts/serve.py`` serializes requests under one lock, so N concurrent
+    single-image clients each pay a full padded ``batch_size`` program — the
+    MXU runs at 1/batch_size utilization. This batcher is the standard
+    production fix (cf. TF-Serving's request batching): requests enqueue,
+    ONE device worker greedily packs whole queued requests into a single
+    batch (up to ``engine.batch_size`` images), runs the engine once, and
+    slices the packed outputs back per request.
+
+    Latency model: with ``window_ms == 0`` (default) the worker never waits
+    — it packs whatever is queued at the moment the device frees up, so a
+    lone client sees exactly the unbatched latency, while under concurrency
+    the queue that would have formed behind the lock anyway becomes MXU
+    fill. ``window_ms > 0`` additionally lingers up to that long after the
+    first request of a batch for stragglers (throughput over latency).
+
+    Thread-safe: ``submit``/``predict`` may be called from any number of
+    threads; the worker thread is the engine's only caller.
+    """
+
+    _STOP = object()
+
+    def __init__(self, engine: InferenceEngine, window_ms: float = 0.0):
+        self.engine = engine
+        self.window = window_ms / 1e3
+        self._queue: queue.Queue = queue.Queue()
+        self._closed = False
+        self.batches_run = 0
+        self.requests_coalesced = 0
+        self._worker = threading.Thread(
+            target=self._loop, name="microbatch-worker", daemon=True)
+        self._worker.start()
+
+    # -- client side -----------------------------------------------------
+    def submit(self, images_u8: np.ndarray):
+        """Enqueue one request; returns a ``concurrent.futures.Future``
+        resolving to the same dict ``InferenceEngine.predict`` returns."""
+        from concurrent.futures import Future
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
+        if images_u8.ndim != 4:
+            raise ValueError(f"expected (N, H, W, 3), got {images_u8.shape}")
+        fut: Future = Future()
+        self._queue.put((images_u8, fut))
+        return fut
+
+    def predict(self, images_u8: np.ndarray) -> Dict[str, np.ndarray]:
+        """Blocking convenience wrapper around :meth:`submit`."""
+        return self.submit(images_u8).result()
+
+    def close(self) -> None:
+        """Drain outstanding requests, then stop the worker."""
+        if not self._closed:
+            self._closed = True
+            self._queue.put(self._STOP)
+            self._worker.join()
+
+    def stats(self) -> Dict[str, float]:
+        s = dict(self.engine.stats())
+        s["batches_run"] = self.batches_run
+        s["requests_coalesced"] = self.requests_coalesced
+        if self.batches_run:
+            s["mean_requests_per_batch"] = (
+                self.requests_coalesced / self.batches_run)
+        return s
+
+    # -- worker side -----------------------------------------------------
+    def _collect(self):
+        """Block for the first request, then pack whole queued requests
+        while they fit in one engine batch (linger up to ``window``)."""
+        first = self._queue.get()
+        if first is self._STOP:
+            return None
+        batch, total = [first], first[0].shape[0]
+        deadline = time.perf_counter() + self.window
+        while total < self.engine.batch_size:
+            try:
+                timeout = deadline - time.perf_counter()
+                item = (self._queue.get_nowait() if timeout <= 0
+                        else self._queue.get(timeout=timeout))
+            except queue.Empty:
+                break
+            if item is self._STOP:
+                self._queue.put(self._STOP)   # re-arm for the next loop
+                break
+            if total + item[0].shape[0] > self.engine.batch_size:
+                self._queue.put(item)         # whole requests only
+                break
+            batch.append(item)
+            total += item[0].shape[0]
+        return batch
+
+    def _loop(self) -> None:
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            arrays = [img for img, _ in batch]
+            try:
+                out = self.engine.predict(
+                    arrays[0] if len(arrays) == 1 else
+                    np.concatenate(arrays, axis=0))
+            except Exception as e:
+                for _, fut in batch:
+                    fut.set_exception(e)
+                continue
+            self.batches_run += 1
+            self.requests_coalesced += len(batch)
+            off = 0
+            for img, fut in batch:
+                n = img.shape[0]
+                fut.set_result({k: v[off:off + n] for k, v in out.items()})
+                off += n
 
 
 def load_engine(checkpoint_path, batch_size: int = 64, mesh=None,

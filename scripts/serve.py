@@ -27,21 +27,25 @@ from __future__ import annotations
 import argparse
 import io
 import json
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
 import numpy as np
 
 
-def make_server(engine, host: str = "0.0.0.0", port: int = 8000
-                ) -> ThreadingHTTPServer:
+def make_server(engine, host: str = "0.0.0.0", port: int = 8000,
+                batch_window_ms: float = 0.0) -> ThreadingHTTPServer:
     """Wrap an InferenceEngine in a ready-to-run ThreadingHTTPServer.
 
-    The engine's jitted program is thread-safe to execute, but its rolling
-    stats lists are not — one lock serializes requests (the device is the
-    bottleneck anyway; concurrent jit dispatches would just queue)."""
-    lock = threading.Lock()
+    Concurrent requests are dynamically coalesced by a
+    :class:`rovit_kan_tpu.serving.MicroBatcher`: one worker thread owns the
+    device and greedily packs whole queued requests into a single padded-
+    batch program, so N concurrent small clients fill the MXU instead of
+    each paying a full ``batch_size`` forward behind a lock. With the
+    default 0 ms window a lone client sees exactly the unbatched latency;
+    ``batch_window_ms > 0`` lingers for stragglers (throughput mode)."""
+    from rovit_kan_tpu.serving import MicroBatcher
+    batcher = MicroBatcher(engine, window_ms=batch_window_ms)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):   # quiet access log
@@ -61,10 +65,10 @@ def make_server(engine, host: str = "0.0.0.0", port: int = 8000
 
         def do_GET(self):
             if self.path == "/healthz":
-                # No predict lock: stats() only READS the rolling deques
-                # (GIL-atomic appends on the other side) — a readiness
-                # probe must not block behind an in-flight inference.
-                self._json(200, engine.stats())
+                # stats() only READS the rolling deques (GIL-atomic appends
+                # on the worker side) — a readiness probe must not block
+                # behind an in-flight inference.
+                self._json(200, batcher.stats())
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 
@@ -96,14 +100,15 @@ def make_server(engine, host: str = "0.0.0.0", port: int = 8000
                 self._json(400, {"error": str(e)})
                 return
             try:
-                with lock:
-                    out = engine.predict(imgs)
+                out = batcher.predict(imgs)
                 self._json(200, {k: np.asarray(v).tolist()
                                  for k, v in out.items()})
             except Exception as e:           # serving failure
                 self._json(500, {"error": str(e)})
 
-    return ThreadingHTTPServer((host, port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.batcher = batcher                 # owned: closed by callers/tests
+    return server
 
 
 def main():
@@ -115,6 +120,10 @@ def main():
     p.add_argument("--image_size", type=int, default=None,
                    help="serve at a different resolution than trained "
                         "(pos-embed interpolation)")
+    p.add_argument("--batch_window_ms", type=float, default=0.0,
+                   help="linger this long for more requests before running "
+                        "a partially-filled batch (0 = greedy coalescing, "
+                        "no added latency)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args()
 
@@ -131,7 +140,8 @@ def main():
     print(f"Compiling serving program (batch {args.batch_size}, "
           f"{engine.model.image_size}px)...")
     engine.warmup()
-    server = make_server(engine, args.host, args.port)
+    server = make_server(engine, args.host, args.port,
+                         batch_window_ms=args.batch_window_ms)
     print(f"Serving on http://{args.host}:{server.server_address[1]} "
           f"(POST /predict, GET /healthz)")
     try:

@@ -70,6 +70,94 @@ def test_mesh_serving_matches_single_device():
 
 
 # ---------------------------------------------------------------------------
+# MicroBatcher: dynamic request coalescing (rovit_kan_tpu/serving.py)
+# ---------------------------------------------------------------------------
+
+def test_microbatcher_matches_direct(engine):
+    """Concurrent submits resolve to exactly the per-request predictions."""
+    from rovit_kan_tpu.serving import MicroBatcher
+    batcher = MicroBatcher(engine)
+    try:
+        reqs = [_imgs(n, seed=10 + n) for n in (1, 3, 2, 5, 1)]
+        futs = [batcher.submit(r) for r in reqs]
+        for req, fut in zip(reqs, futs):
+            got = fut.result(timeout=60)
+            want = engine.predict(req)
+            assert got["cls_pred"].shape == (req.shape[0],)
+            for k in want:
+                np.testing.assert_allclose(got[k], want[k], atol=1e-5,
+                                           err_msg=k)
+    finally:
+        batcher.close()
+
+
+def test_microbatcher_coalesces(engine):
+    """With a linger window, back-to-back small requests share ONE padded-
+    batch program instead of six."""
+    from rovit_kan_tpu.serving import MicroBatcher
+    batcher = MicroBatcher(engine, window_ms=300.0)
+    try:
+        futs = [batcher.submit(_imgs(1, seed=20 + i)) for i in range(6)]
+        for f in futs:
+            f.result(timeout=60)
+        s = batcher.stats()
+        assert s["requests_coalesced"] == 6
+        assert s["batches_run"] <= 2           # nominally 1
+        assert s["mean_requests_per_batch"] >= 3
+    finally:
+        batcher.close()
+
+
+def test_microbatcher_large_request_and_close(engine):
+    """A request bigger than the engine batch passes through whole (the
+    engine splits internally); close() drains, then rejects new work."""
+    from rovit_kan_tpu.serving import MicroBatcher
+    batcher = MicroBatcher(engine)
+    imgs = _imgs(19, seed=30)
+    fut = batcher.submit(imgs)
+    batcher.close()                            # must drain the in-flight work
+    out = fut.result(timeout=0)                # already resolved by close()
+    np.testing.assert_allclose(out["kan_severity"],
+                               engine.predict(imgs)["kan_severity"],
+                               atol=1e-5)
+    with pytest.raises(RuntimeError):
+        batcher.submit(imgs)
+
+
+def test_microbatcher_error_isolated_per_batch():
+    """An engine failure rejects that batch's futures (no hang, no worker
+    death) and later requests still succeed."""
+    from rovit_kan_tpu.serving import MicroBatcher
+
+    class FlakyEngine:
+        batch_size = 8
+
+        def __init__(self):
+            self.calls = 0
+
+        def predict(self, imgs):
+            self.calls += 1
+            if self.calls == 1:
+                raise RuntimeError("boom")
+            return {"cls_pred": np.zeros(imgs.shape[0], np.int32)}
+
+        def stats(self):
+            return {}
+
+    batcher = MicroBatcher(FlakyEngine())
+    try:
+        bad = batcher.submit(_imgs(2, seed=40))
+        with pytest.raises(RuntimeError, match="boom"):
+            bad.result(timeout=60)
+        ok = batcher.submit(_imgs(2, seed=41))
+        assert ok.result(timeout=60)["cls_pred"].shape == (2,)
+        with pytest.raises(ValueError):
+            batcher.submit(np.zeros((32, 32, 3), np.uint8))   # ndim != 4
+    finally:
+        batcher.close()
+
+
+# ---------------------------------------------------------------------------
 # AOT export (rovit_kan_tpu/export.py): StableHLO serving artifacts
 # ---------------------------------------------------------------------------
 
@@ -209,3 +297,54 @@ def test_http_server_roundtrip(engine):
     finally:
         server.shutdown()
         server.server_close()
+        server.batcher.close()
+
+
+def test_http_concurrent_requests_coalesce(engine):
+    """Six parallel single-image POSTs ride ONE (or two) padded-batch
+    programs through the MicroBatcher, and every client gets its own
+    correct slice back."""
+    import io
+    import json
+    import sys
+    import threading
+    import urllib.request
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+    from serve import make_server
+
+    server = make_server(engine, host="127.0.0.1", port=0,
+                         batch_window_ms=300.0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        results = {}
+
+        def post(i):
+            buf = io.BytesIO()
+            np.save(buf, _imgs(1, seed=50 + i))
+            results[i] = json.loads(urllib.request.urlopen(
+                urllib.request.Request(f"{base}/predict", buf.getvalue()),
+                timeout=60).read())
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for i in range(6):
+            want = engine.predict(_imgs(1, seed=50 + i))
+            np.testing.assert_allclose(results[i]["cls_probs"],
+                                       want["cls_probs"], atol=1e-5)
+
+        health = json.loads(urllib.request.urlopen(
+            f"{base}/healthz", timeout=30).read())
+        assert health["requests_coalesced"] >= 6
+        assert health["batches_run"] <= health["requests_coalesced"] - 3
+    finally:
+        server.shutdown()
+        server.server_close()
+        server.batcher.close()
