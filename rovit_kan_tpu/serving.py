@@ -201,7 +201,9 @@ class MicroBatcher:
         self.engine = engine
         self.window = window_ms / 1e3
         self._queue: queue.Queue = queue.Queue()
+        self._lock = threading.Lock()   # orders submit() vs close()
         self._closed = False
+        self._carry = None              # popped request awaiting next batch
         self.batches_run = 0
         self.requests_coalesced = 0
         self._worker = threading.Thread(
@@ -211,14 +213,28 @@ class MicroBatcher:
     # -- client side -----------------------------------------------------
     def submit(self, images_u8: np.ndarray):
         """Enqueue one request; returns a ``concurrent.futures.Future``
-        resolving to the same dict ``InferenceEngine.predict`` returns."""
+        resolving to the same dict ``InferenceEngine.predict`` returns.
+
+        Validates the request shape/dtype HERE so one malformed request
+        fails alone instead of poisoning the batch it would coalesce into
+        (``np.concatenate`` would reject innocent co-batched requests)."""
         from concurrent.futures import Future
-        if self._closed:
-            raise RuntimeError("MicroBatcher is closed")
-        if images_u8.ndim != 4:
+        if images_u8.ndim != 4 or images_u8.shape[-1] != 3:
             raise ValueError(f"expected (N, H, W, 3), got {images_u8.shape}")
+        if images_u8.dtype != np.uint8:
+            raise ValueError(f"expected uint8 images, got {images_u8.dtype}")
+        size = getattr(getattr(self.engine, "model", None),
+                       "image_size", None)
+        if size is not None and images_u8.shape[1:3] != (size, size):
+            raise ValueError(f"engine serves {size}x{size}px, got "
+                             f"{images_u8.shape[1]}x{images_u8.shape[2]}")
         fut: Future = Future()
-        self._queue.put((images_u8, fut))
+        with self._lock:
+            # The lock makes closed-check + put atomic: no request can land
+            # behind the _STOP sentinel and hang unresolved.
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._queue.put((images_u8, fut))
         return fut
 
     def predict(self, images_u8: np.ndarray) -> Dict[str, np.ndarray]:
@@ -227,10 +243,12 @@ class MicroBatcher:
 
     def close(self) -> None:
         """Drain outstanding requests, then stop the worker."""
-        if not self._closed:
+        with self._lock:
+            if self._closed:
+                return
             self._closed = True
             self._queue.put(self._STOP)
-            self._worker.join()
+        self._worker.join()
 
     def stats(self) -> Dict[str, float]:
         s = dict(self.engine.stats())
@@ -244,10 +262,18 @@ class MicroBatcher:
     # -- worker side -----------------------------------------------------
     def _collect(self):
         """Block for the first request, then pack whole queued requests
-        while they fit in one engine batch (linger up to ``window``)."""
-        first = self._queue.get()
-        if first is self._STOP:
-            return None
+        while they fit in one engine batch (linger up to ``window``).
+
+        A popped request that doesn't fit the remaining capacity goes into
+        ``self._carry`` and LEADS the next batch (re-queueing it would put
+        it behind newer arrivals — FIFO violation and starvation under
+        sustained small-request load)."""
+        if self._carry is not None:
+            first, self._carry = self._carry, None
+        else:
+            first = self._queue.get()
+            if first is self._STOP:
+                return None
         batch, total = [first], first[0].shape[0]
         deadline = time.perf_counter() + self.window
         while total < self.engine.batch_size:
@@ -261,7 +287,7 @@ class MicroBatcher:
                 self._queue.put(self._STOP)   # re-arm for the next loop
                 break
             if total + item[0].shape[0] > self.engine.batch_size:
-                self._queue.put(item)         # whole requests only
+                self._carry = item            # whole requests, FIFO order
                 break
             batch.append(item)
             total += item[0].shape[0]
@@ -272,6 +298,14 @@ class MicroBatcher:
             batch = self._collect()
             if batch is None:
                 return
+            # A client may have cancelled its Future while queued (e.g. a
+            # request timeout); set_result on a cancelled future raises and
+            # would kill this worker — claim each future first and drop the
+            # cancelled ones.
+            batch = [(img, fut) for img, fut in batch
+                     if fut.set_running_or_notify_cancel()]
+            if not batch:
+                continue
             arrays = [img for img, _ in batch]
             try:
                 out = self.engine.predict(

@@ -99,11 +99,24 @@ def make_server(engine, host: str = "0.0.0.0", port: int = 8000,
             except Exception as e:           # malformed request
                 self._json(400, {"error": str(e)})
                 return
+            fut = None
             try:
-                out = batcher.predict(imgs)
+                fut = batcher.submit(imgs)
+                # Bounded wait: if the batcher worker ever wedges, surface
+                # a 503 instead of hanging this handler thread forever
+                # (ThreadingHTTPServer would otherwise accumulate stuck
+                # threads while /healthz stays green). cancel() is safe:
+                # the worker claims futures before dispatch and drops
+                # cancelled ones.
+                out = fut.result(timeout=120)
                 self._json(200, {k: np.asarray(v).tolist()
                                  for k, v in out.items()})
+            except TimeoutError:
+                fut.cancel()
+                self._json(503, {"error": "inference timed out"})
             except Exception as e:           # serving failure
+                if fut is not None:
+                    fut.cancel()
                 self._json(500, {"error": str(e)})
 
     server = ThreadingHTTPServer((host, port), Handler)
@@ -148,6 +161,8 @@ def main():
         server.serve_forever()
     except KeyboardInterrupt:
         server.shutdown()
+    finally:
+        server.batcher.close()   # drain queued requests before exit
 
 
 if __name__ == "__main__":

@@ -157,6 +157,101 @@ def test_microbatcher_error_isolated_per_batch():
         batcher.close()
 
 
+class _RecordingEngine:
+    """Stub engine: records per-call batch sizes, returns identity preds."""
+    batch_size = 8
+    model = None
+
+    def __init__(self):
+        self.call_sizes = []
+
+    def predict(self, imgs):
+        self.call_sizes.append(imgs.shape[0])
+        return {"cls_pred": np.arange(imgs.shape[0], dtype=np.int32)}
+
+    def stats(self):
+        return {}
+
+
+def test_microbatcher_fifo_carry():
+    """A request that doesn't fit the remaining capacity LEADS the next
+    batch instead of being re-queued behind newer arrivals (starvation)."""
+    from rovit_kan_tpu.serving import MicroBatcher
+    eng = _RecordingEngine()
+    batcher = MicroBatcher(eng, window_ms=300.0)
+    try:
+        a = batcher.submit(_imgs(4, seed=60))
+        b = batcher.submit(_imgs(5, seed=61))
+        c = batcher.submit(_imgs(1, seed=62))
+        for f in (a, b, c):
+            f.result(timeout=60)
+        # A runs alone (B doesn't fit 4+5>8 and must NOT be jumped by C);
+        # B then leads the next batch and C coalesces behind it.
+        assert eng.call_sizes == [4, 6], eng.call_sizes
+    finally:
+        batcher.close()
+
+
+def test_microbatcher_cancelled_future_does_not_kill_worker():
+    """A client-side cancel() of a queued request is dropped by the worker
+    (set_running_or_notify_cancel) — later requests still serve."""
+    import threading
+    from rovit_kan_tpu.serving import MicroBatcher
+
+    entered, release = threading.Event(), threading.Event()
+
+    class GatedEngine(_RecordingEngine):
+        def predict(self, imgs):
+            entered.set()            # worker is now provably busy
+            release.wait(timeout=60)
+            return super().predict(imgs)
+
+    eng = GatedEngine()
+    batcher = MicroBatcher(eng)
+    try:
+        first = batcher.submit(_imgs(1, seed=70))   # occupies the worker
+        assert entered.wait(timeout=60)
+        doomed = batcher.submit(_imgs(1, seed=71))  # queued behind it
+        assert doomed.cancel()                      # still queued -> cancels
+        release.set()
+        assert first.result(timeout=60)["cls_pred"].shape == (1,)
+        ok = batcher.submit(_imgs(2, seed=72))
+        assert ok.result(timeout=60)["cls_pred"].shape == (2,)
+        assert doomed.cancelled()
+    finally:
+        release.set()
+        batcher.close()
+
+
+def test_microbatcher_rejects_mismatched_request(engine):
+    """Shape/dtype validation happens at submit() so one malformed request
+    can't poison the batch it would coalesce into."""
+    from rovit_kan_tpu.serving import MicroBatcher
+    batcher = MicroBatcher(engine)
+    try:
+        with pytest.raises(ValueError, match="32x32"):
+            batcher.submit(np.zeros((1, 16, 16, 3), np.uint8))
+        with pytest.raises(ValueError, match="uint8"):
+            batcher.submit(np.zeros((1, 32, 32, 3), np.float32))
+        ok = batcher.submit(_imgs(2, seed=80))
+        assert ok.result(timeout=60)["cls_pred"].shape == (2,)
+    finally:
+        batcher.close()
+
+
+def test_microbatcher_close_drains_carry():
+    """close() resolves a carried (didn't-fit) request, not just queued
+    ones."""
+    from rovit_kan_tpu.serving import MicroBatcher
+    eng = _RecordingEngine()
+    batcher = MicroBatcher(eng, window_ms=200.0)
+    a = batcher.submit(_imgs(4, seed=90))
+    b = batcher.submit(_imgs(5, seed=91))   # becomes the carry after A
+    batcher.close()
+    assert a.result(timeout=0)["cls_pred"].shape == (4,)
+    assert b.result(timeout=0)["cls_pred"].shape == (5,)
+
+
 # ---------------------------------------------------------------------------
 # AOT export (rovit_kan_tpu/export.py): StableHLO serving artifacts
 # ---------------------------------------------------------------------------
