@@ -40,12 +40,77 @@ def _measure(engine, images, iters):
     return images.shape[0] * iters / dt
 
 
+def _measure_concurrent(engine, n_clients, requests_each, request_size,
+                        image_size, batched):
+    """N client threads each fire R size-k requests as fast as they can.
+
+    ``batched=False`` reproduces the pre-batching HTTP server: one lock,
+    each request runs its own full padded-batch program. ``batched=True``
+    routes through the MicroBatcher. Returns aggregate img/s + per-request
+    latency stats + (batched) fill factor."""
+    import threading
+    import numpy as np
+    from rovit_kan_tpu.serving import MicroBatcher
+
+    rng = np.random.RandomState(1)
+    reqs = [rng.randint(0, 256, (request_size, image_size, image_size, 3),
+                        dtype=np.uint8) for _ in range(n_clients)]
+    engine.warmup()
+
+    lock = threading.Lock()
+    batcher = MicroBatcher(engine) if batched else None
+    lat: list = []
+
+    def client(i):
+        for _ in range(requests_each):
+            t0 = time.perf_counter()
+            if batched:
+                out = batcher.predict(reqs[i])
+            else:
+                with lock:
+                    out = engine.predict(reqs[i])
+            float(out["cls_probs"].sum())            # host-side touch
+            lat.append(time.perf_counter() - t0)
+
+    client(0)                                         # warm shape/compile
+    lat.clear()
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(n_clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    row = {
+        "batched": batched,
+        "images_per_sec": round(
+            n_clients * requests_each * request_size / dt, 1),
+        "mean_latency_ms": round(float(np.mean(lat)) * 1e3, 2),
+        "p95_latency_ms": round(float(np.percentile(lat, 95)) * 1e3, 2),
+    }
+    if batched:
+        s = batcher.stats()
+        row["mean_requests_per_batch"] = round(
+            s.get("mean_requests_per_batch", 1.0), 2)
+        batcher.close()
+    return row
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("checkpoint", type=Path)
     p.add_argument("--image_size", type=int, default=384)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--concurrency", type=int, default=0,
+                   help="instead of the kernel-policy A/B, run N "
+                        "concurrent clients against the engine locked "
+                        "(pre-batching) vs micro-batched")
+    p.add_argument("--requests", type=int, default=20,
+                   help="requests per client (concurrency mode)")
+    p.add_argument("--request_size", type=int, default=1,
+                   help="images per request (concurrency mode)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -65,6 +130,33 @@ def main():
     base_cfg = Config.from_dict(ck["config"])
     params = ck["ema_params"] if ck.get("ema_params") is not None \
         else ck["params"]
+
+    if args.concurrency:
+        # Locked (pre-batching serve.py) vs MicroBatcher, same engine
+        # build: the win is fewer, fuller padded-batch programs (and
+        # fewer, fuller H2D transfers — a locked size-1 request still
+        # transfers and computes the full padded batch).
+        size = base_cfg.data.image_size
+        model = build_model(Config.from_dict(ck["config"]), inference=True)
+        rows = []
+        for batched in (False, True):
+            engine = InferenceEngine(model, params,
+                                     batch_size=args.batch_size)
+            row = _measure_concurrent(
+                engine, args.concurrency, args.requests,
+                args.request_size, size, batched)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+        result = {"device": str(jax.devices()[0].device_kind),
+                  "mode": "concurrency", "clients": args.concurrency,
+                  "requests_per_client": args.requests,
+                  "request_size": args.request_size,
+                  "engine_batch_size": args.batch_size,
+                  "image_size": size, "rows": rows}
+        if args.out:
+            Path(args.out).write_text(json.dumps(result, indent=2))
+        print(json.dumps(result))
+        return
 
     rng = np.random.RandomState(0)
     rows = []
