@@ -125,27 +125,47 @@ class InferenceEngine:
             images_u8 = shard_batch({"x": images_u8}, self.mesh)["x"]
         return self._forward(self.params, images_u8)
 
-    def predict(self, images_u8: np.ndarray) -> Dict[str, np.ndarray]:
-        """Serve one request of N <= batch_size images (uint8 NHWC).
-        Larger inputs are split internally."""
+    def dispatch(self, images_u8: np.ndarray):
+        """Async half of ``predict``: pad + enqueue the forward and return
+        an opaque handle WITHOUT waiting for the result (jax dispatch is
+        non-blocking). The caller can overlap host work — e.g. the
+        MicroBatcher collects and dispatches the next batch while this one
+        computes — then complete it with :meth:`fetch`."""
         n = images_u8.shape[0]
         if n > self.batch_size:
-            parts = [self.predict(images_u8[i:i + self.batch_size])
-                     for i in range(0, n, self.batch_size)]
-            return {k: np.concatenate([p[k] for p in parts])
-                    for k in parts[0]}
-
+            raise ValueError(f"dispatch takes <= batch_size={self.batch_size}"
+                             f" images, got {n}; use predict() to split")
         t0 = time.perf_counter()
         if n < self.batch_size:
             pad = np.zeros((self.batch_size - n, *images_u8.shape[1:]),
                            images_u8.dtype)
             images_u8 = np.concatenate([images_u8, pad])
-        out = self._unpack(np.asarray(self._run(images_u8))[:n])
+        return (self._run(images_u8), n, t0)
+
+    def fetch(self, handle) -> Dict[str, np.ndarray]:
+        """Blocking half of ``predict``: device->host transfer + unpack +
+        stats for a handle returned by :meth:`dispatch`."""
+        flat, n, t0 = handle
+        out = self._unpack(np.asarray(flat)[:n])
         self._latencies.append(time.perf_counter() - t0)
         self._request_sizes.append(n)
         self._n_requests += 1
         self._n_images += n
         return out
+
+    def predict(self, images_u8: np.ndarray) -> Dict[str, np.ndarray]:
+        """Serve one request of N <= batch_size images (uint8 NHWC).
+        Larger inputs are split internally."""
+        n = images_u8.shape[0]
+        if n > self.batch_size:
+            # Dispatch ALL chunks before fetching any: the device queue
+            # stays fed while each finished chunk transfers back.
+            handles = [self.dispatch(images_u8[i:i + self.batch_size])
+                       for i in range(0, n, self.batch_size)]
+            parts = [self.fetch(h) for h in handles]
+            return {k: np.concatenate([p[k] for p in parts])
+                    for k in parts[0]}
+        return self.fetch(self.dispatch(images_u8))
 
     def predict_stream(self, batches: Iterable[np.ndarray]
                        ) -> Iterator[Dict[str, np.ndarray]]:
@@ -260,9 +280,11 @@ class MicroBatcher:
         return s
 
     # -- worker side -----------------------------------------------------
-    def _collect(self):
-        """Block for the first request, then pack whole queued requests
-        while they fit in one engine batch (linger up to ``window``).
+    def _collect(self, block: bool = True):
+        """Pack whole queued requests into one engine batch (linger up to
+        ``window`` after the first). Returns ``None`` on the _STOP
+        sentinel and ``[]`` when ``block=False`` finds nothing queued
+        (the worker has an in-flight batch to go fetch instead).
 
         A popped request that doesn't fit the remaining capacity goes into
         ``self._carry`` and LEADS the next batch (re-queueing it would put
@@ -271,7 +293,11 @@ class MicroBatcher:
         if self._carry is not None:
             first, self._carry = self._carry, None
         else:
-            first = self._queue.get()
+            try:
+                first = (self._queue.get() if block
+                         else self._queue.get_nowait())
+            except queue.Empty:
+                return []
             if first is self._STOP:
                 return None
         batch, total = [first], first[0].shape[0]
@@ -293,35 +319,75 @@ class MicroBatcher:
             total += item[0].shape[0]
         return batch
 
+    # Engines expose async dispatch/fetch halves (InferenceEngine); plain
+    # predict-only duck-typed engines still work, just unpipelined.
+    def _dispatch(self, imgs):
+        if hasattr(self.engine, "dispatch") and hasattr(self.engine,
+                                                        "fetch"):
+            return ("async", self.engine.dispatch(imgs))
+        return ("sync", imgs)
+
+    def _fetch(self, tagged):
+        tag, v = tagged
+        return self.engine.fetch(v) if tag == "async" else \
+            self.engine.predict(v)
+
+    def _resolve(self, pending) -> None:
+        batch, tagged = pending
+        try:
+            out = self._fetch(tagged)
+        except Exception as e:
+            for _, fut in batch:
+                fut.set_exception(e)
+            return
+        self.batches_run += 1
+        self.requests_coalesced += len(batch)
+        off = 0
+        for img, fut in batch:
+            n = img.shape[0]
+            fut.set_result({k: v[off:off + n] for k, v in out.items()})
+            off += n
+
     def _loop(self) -> None:
+        # Depth-2 pipeline: dispatch batch k+1 to the device BEFORE
+        # fetching batch k's results (jax dispatch is async), so host-side
+        # collection + padding + H2D of the next batch overlap the device
+        # compute of the current one.
+        pending = None                 # (claimed batch, dispatch handle)
         while True:
-            batch = self._collect()
-            if batch is None:
+            batch = self._collect(block=pending is None)
+            stop = batch is None
+            new_pending = None
+            if batch:
+                # A client may have cancelled its Future while queued
+                # (e.g. a request timeout); set_result on a cancelled
+                # future raises and would kill this worker — claim each
+                # future first and drop the cancelled ones.
+                batch = [(img, fut) for img, fut in batch
+                         if fut.set_running_or_notify_cancel()]
+            if batch:
+                arrays = [img for img, _ in batch]
+                imgs = (arrays[0] if len(arrays) == 1 else
+                        np.concatenate(arrays, axis=0))
+                if imgs.shape[0] <= self.engine.batch_size:
+                    try:
+                        new_pending = (batch, self._dispatch(imgs))
+                    except Exception as e:
+                        for _, fut in batch:
+                            fut.set_exception(e)
+                else:
+                    # Oversize single request: engine.predict splits (and
+                    # internally pipelines) it — run it on the sync path,
+                    # after the in-flight batch resolves.
+                    if pending is not None:
+                        self._resolve(pending)
+                        pending = None
+                    self._resolve((batch, ("sync", imgs)))
+            if pending is not None:
+                self._resolve(pending)
+            pending = new_pending
+            if stop and pending is None:
                 return
-            # A client may have cancelled its Future while queued (e.g. a
-            # request timeout); set_result on a cancelled future raises and
-            # would kill this worker — claim each future first and drop the
-            # cancelled ones.
-            batch = [(img, fut) for img, fut in batch
-                     if fut.set_running_or_notify_cancel()]
-            if not batch:
-                continue
-            arrays = [img for img, _ in batch]
-            try:
-                out = self.engine.predict(
-                    arrays[0] if len(arrays) == 1 else
-                    np.concatenate(arrays, axis=0))
-            except Exception as e:
-                for _, fut in batch:
-                    fut.set_exception(e)
-                continue
-            self.batches_run += 1
-            self.requests_coalesced += len(batch)
-            off = 0
-            for img, fut in batch:
-                n = img.shape[0]
-                fut.set_result({k: v[off:off + n] for k, v in out.items()})
-                off += n
 
 
 def load_engine(checkpoint_path, batch_size: int = 64, mesh=None,

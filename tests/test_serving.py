@@ -239,6 +239,46 @@ def test_microbatcher_rejects_mismatched_request(engine):
         batcher.close()
 
 
+def test_microbatcher_pipelines_dispatch_before_fetch():
+    """The worker dispatches batch k+1 to the device BEFORE fetching batch
+    k (depth-2 pipeline): host collection/H2D overlap device compute."""
+    import threading
+    from rovit_kan_tpu.serving import MicroBatcher
+
+    both_queued = threading.Event()
+    events = []
+
+    class AsyncStub:
+        batch_size = 8
+        model = None
+
+        def dispatch(self, imgs):
+            both_queued.wait(timeout=60)   # hold batch 1 until 2 is queued
+            events.append(("dispatch", imgs.shape[0]))
+            return imgs
+
+        def fetch(self, imgs):
+            events.append(("fetch", imgs.shape[0]))
+            return {"cls_pred": np.zeros(imgs.shape[0], np.int32)}
+
+        def stats(self):
+            return {}
+
+    batcher = MicroBatcher(AsyncStub())
+    try:
+        # 5+5 > 8 so the two requests can never coalesce into one batch.
+        a = batcher.submit(_imgs(5, seed=95))
+        b = batcher.submit(_imgs(5, seed=96))
+        both_queued.set()
+        a.result(timeout=60)
+        b.result(timeout=60)
+        assert events == [("dispatch", 5), ("dispatch", 5),
+                          ("fetch", 5), ("fetch", 5)], events
+    finally:
+        both_queued.set()
+        batcher.close()
+
+
 def test_microbatcher_close_drains_carry():
     """close() resolves a carried (didn't-fit) request, not just queued
     ones."""
