@@ -71,6 +71,11 @@ class InferenceEngine:
         from collections import deque
         self._latencies: deque = deque(maxlen=10_000)
         self._request_sizes: deque = deque(maxlen=10_000)
+        # Non-overlapping busy spans: with pipelined dispatch, summing
+        # per-request latencies double-counts overlapped wall time and
+        # would UNDER-report throughput exactly when pipelining raises it.
+        self._busy: deque = deque(maxlen=10_000)
+        self._last_end = 0.0
         self._n_requests = 0
         self._n_images = 0
 
@@ -147,7 +152,10 @@ class InferenceEngine:
         stats for a handle returned by :meth:`dispatch`."""
         flat, n, t0 = handle
         out = self._unpack(np.asarray(flat)[:n])
-        self._latencies.append(time.perf_counter() - t0)
+        end = time.perf_counter()
+        self._latencies.append(end - t0)
+        self._busy.append(end - max(t0, self._last_end))
+        self._last_end = end
         self._request_sizes.append(n)
         self._n_requests += 1
         self._n_images += n
@@ -158,11 +166,19 @@ class InferenceEngine:
         Larger inputs are split internally."""
         n = images_u8.shape[0]
         if n > self.batch_size:
-            # Dispatch ALL chunks before fetching any: the device queue
-            # stays fed while each finished chunk transfers back.
-            handles = [self.dispatch(images_u8[i:i + self.batch_size])
-                       for i in range(0, n, self.batch_size)]
-            parts = [self.fetch(h) for h in handles]
+            # Depth-2 pipeline over the chunks: dispatch chunk k+1 before
+            # fetching chunk k — same compute/transfer overlap as
+            # dispatching everything up front, but only TWO chunks' input
+            # and output buffers are ever in flight (dispatching all
+            # chunks first would hold O(n/batch_size) padded buffers on
+            # device — an HBM blow-up for bulk scoring requests).
+            parts, prev = [], None
+            for i in range(0, n, self.batch_size):
+                h = self.dispatch(images_u8[i:i + self.batch_size])
+                if prev is not None:
+                    parts.append(self.fetch(prev))
+                prev = h
+            parts.append(self.fetch(prev))
             return {k: np.concatenate([p[k] for p in parts])
                     for k in parts[0]}
         return self.fetch(self.dispatch(images_u8))
@@ -180,6 +196,7 @@ class InferenceEngine:
         latency/throughput when more exist."""
         skip = 1 if self._n_requests > 1 and len(self._latencies) > 1 else 0
         lat = np.asarray(list(self._latencies)[skip:])
+        busy = np.asarray(list(self._busy)[skip:])
         sizes = np.asarray(list(self._request_sizes)[skip:])
         if lat.size == 0:
             return {"requests": self._n_requests}
@@ -188,7 +205,9 @@ class InferenceEngine:
             "images_served": self._n_images,
             "mean_latency_ms": float(lat.mean() * 1e3),
             "p95_latency_ms": float(np.percentile(lat, 95) * 1e3),
-            "images_per_sec": float(sizes.sum() / lat.sum()),
+            # Busy spans, not latency sums: overlapped (pipelined) requests
+            # must not double-count wall time.
+            "images_per_sec": float(sizes.sum() / max(busy.sum(), 1e-9)),
         }
 
 
@@ -280,11 +299,11 @@ class MicroBatcher:
         return s
 
     # -- worker side -----------------------------------------------------
-    def _collect(self, block: bool = True):
+    def _collect(self, block: bool = True, linger: bool = True):
         """Pack whole queued requests into one engine batch (linger up to
-        ``window`` after the first). Returns ``None`` on the _STOP
-        sentinel and ``[]`` when ``block=False`` finds nothing queued
-        (the worker has an in-flight batch to go fetch instead).
+        ``window`` after the first, only when ``linger``). Returns ``None``
+        on the _STOP sentinel and ``[]`` when ``block=False`` finds nothing
+        queued (the worker has an in-flight batch to go fetch instead).
 
         A popped request that doesn't fit the remaining capacity goes into
         ``self._carry`` and LEADS the next batch (re-queueing it would put
@@ -301,7 +320,7 @@ class MicroBatcher:
             if first is self._STOP:
                 return None
         batch, total = [first], first[0].shape[0]
-        deadline = time.perf_counter() + self.window
+        deadline = time.perf_counter() + (self.window if linger else 0.0)
         while total < self.engine.batch_size:
             try:
                 timeout = deadline - time.perf_counter()
@@ -320,17 +339,22 @@ class MicroBatcher:
         return batch
 
     # Engines expose async dispatch/fetch halves (InferenceEngine); plain
-    # predict-only duck-typed engines still work, just unpipelined.
+    # predict-only duck-typed engines still work, just unpipelined — their
+    # predict runs EAGERLY at dispatch time (deferring it to the next
+    # iteration's resolve would leave the engine idle during collection).
     def _dispatch(self, imgs):
         if hasattr(self.engine, "dispatch") and hasattr(self.engine,
                                                         "fetch"):
             return ("async", self.engine.dispatch(imgs))
-        return ("sync", imgs)
+        return ("done", self.engine.predict(imgs))
 
     def _fetch(self, tagged):
         tag, v = tagged
-        return self.engine.fetch(v) if tag == "async" else \
-            self.engine.predict(v)
+        if tag == "async":
+            return self.engine.fetch(v)
+        if tag == "sync":                # oversize: engine splits it
+            return self.engine.predict(v)
+        return v                         # "done": already computed
 
     def _resolve(self, pending) -> None:
         batch, tagged = pending
@@ -355,7 +379,12 @@ class MicroBatcher:
         # compute of the current one.
         pending = None                 # (claimed batch, dispatch handle)
         while True:
-            batch = self._collect(block=pending is None)
+            # No linger while a batch is in flight: its results may already
+            # be ready, and parking in the window would delay delivering
+            # them by up to window_ms. Stragglers coalesce into the batch
+            # after next instead.
+            batch = self._collect(block=pending is None,
+                                  linger=pending is None)
             stop = batch is None
             new_pending = None
             if batch:

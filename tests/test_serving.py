@@ -176,19 +176,73 @@ class _RecordingEngine:
 def test_microbatcher_fifo_carry():
     """A request that doesn't fit the remaining capacity LEADS the next
     batch instead of being re-queued behind newer arrivals (starvation)."""
+    import threading
     from rovit_kan_tpu.serving import MicroBatcher
-    eng = _RecordingEngine()
+
+    all_queued = threading.Event()
+
+    class GatedRecorder(_RecordingEngine):
+        def predict(self, imgs):
+            all_queued.wait(timeout=60)   # hold batch 1 until C is queued
+            return super().predict(imgs)
+
+    eng = GatedRecorder()
     batcher = MicroBatcher(eng, window_ms=300.0)
     try:
         a = batcher.submit(_imgs(4, seed=60))
         b = batcher.submit(_imgs(5, seed=61))
         c = batcher.submit(_imgs(1, seed=62))
+        all_queued.set()
         for f in (a, b, c):
             f.result(timeout=60)
         # A runs alone (B doesn't fit 4+5>8 and must NOT be jumped by C);
         # B then leads the next batch and C coalesces behind it.
         assert eng.call_sizes == [4, 6], eng.call_sizes
     finally:
+        all_queued.set()
+        batcher.close()
+
+
+def test_microbatcher_window_does_not_delay_inflight_results():
+    """With a large linger window, the worker must still deliver an
+    in-flight batch's results as soon as they're ready — the window only
+    gates how long a batch WAITS TO FILL when the device is idle."""
+    import threading
+    import time as _time
+    from rovit_kan_tpu.serving import MicroBatcher
+
+    first_dispatched, b_submitted = threading.Event(), threading.Event()
+
+    class AsyncStub:
+        batch_size = 8
+        model = None
+
+        def dispatch(self, imgs):
+            if not first_dispatched.is_set():
+                first_dispatched.set()
+                b_submitted.wait(timeout=60)  # guarantee B is queued
+            return imgs
+
+        def fetch(self, imgs):
+            return {"cls_pred": np.zeros(imgs.shape[0], np.int32)}
+
+        def stats(self):
+            return {}
+
+    batcher = MicroBatcher(AsyncStub(), window_ms=2000.0)
+    try:
+        a = batcher.submit(_imgs(5, seed=97))
+        assert first_dispatched.wait(timeout=60)
+        b = batcher.submit(_imgs(5, seed=98))   # can't coalesce with A
+        b_submitted.set()
+        t0 = _time.perf_counter()
+        a.result(timeout=60)
+        # Collecting B (already queued) must not park in the 2 s window
+        # before A's ready results are fetched and delivered.
+        assert _time.perf_counter() - t0 < 1.0
+        b.result(timeout=60)
+    finally:
+        b_submitted.set()
         batcher.close()
 
 
