@@ -12,6 +12,8 @@ Protocol (stdlib-only on both sides):
                    (cls_pred / cls_probs / severities / uncertainty).
   GET  /healthz    -> 200 + JSON engine stats once the serving program is
                    compiled (readiness probe).
+  GET  /metrics    -> Prometheus text exposition of the same stats
+                   (rovit_serving_* counters/gauges).
 
 Usage:
   python scripts/serve.py --checkpoint outputs/train/checkpoints/best_model \
@@ -69,6 +71,24 @@ def make_server(engine, host: str = "0.0.0.0", port: int = 8000,
                 # on the worker side) — a readiness probe must not block
                 # behind an in-flight inference.
                 self._json(200, batcher.stats())
+            elif self.path == "/metrics":
+                # Prometheus text exposition of the same stats (gauges:
+                # rolling-window rates; counters: exact totals).
+                lines = []
+                for k, v in sorted(batcher.stats().items()):
+                    name = f"rovit_serving_{k}"
+                    kind = ("counter" if k in ("requests", "images_served",
+                                               "batches_run",
+                                               "requests_coalesced")
+                            else "gauge")
+                    lines += [f"# TYPE {name} {kind}", f"{name} {v}"]
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 

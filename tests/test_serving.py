@@ -466,6 +466,11 @@ def test_http_server_roundtrip(engine):
             f"{base}/healthz", timeout=30).read())
         assert health["requests"] >= 1
 
+        metrics = urllib.request.urlopen(
+            f"{base}/metrics", timeout=30).read().decode()
+        assert "# TYPE rovit_serving_requests counter" in metrics
+        assert "rovit_serving_images_per_sec" in metrics
+
         bad = urllib.request.Request(f"{base}/predict", b"not npy")
         try:
             urllib.request.urlopen(bad, timeout=30)
