@@ -42,6 +42,7 @@ def __getattr__(name):
         "Evaluator": ("rovit_kan_tpu.evaluation.evaluator", "Evaluator"),
         "InferenceEngine": ("rovit_kan_tpu.serving", "InferenceEngine"),
         "load_engine": ("rovit_kan_tpu.serving", "load_engine"),
+        "MicroBatcher": ("rovit_kan_tpu.serving", "MicroBatcher"),
         "export_serving": ("rovit_kan_tpu.export", "export_serving"),
         "save_exported": ("rovit_kan_tpu.export", "save_exported"),
         "load_exported": ("rovit_kan_tpu.export", "load_exported"),
