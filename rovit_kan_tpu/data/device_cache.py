@@ -14,11 +14,15 @@ pure XLA.
 unchanged. Epoch shuffling happens host-side on int32 indices (cheap);
 the per-batch gather is jit-compiled once.
 
-Data parallelism: pass a ``Mesh`` — the arrays replicate across it (each
-chip holds a dataset copy; budget HBM accordingly) and the Trainer's
+Data parallelism: pass a ``Mesh`` — by default the arrays replicate
+across it (each chip holds a dataset copy) and the Trainer's
 scanned-epoch path shards each gathered batch over the mesh with a
 sharding constraint, so the step math runs SPMD exactly like the host
-path.
+path. Pass ``shard_data=True`` to instead store the dataset P("data")
+over the mesh — 1/dp the HBM per device — with STRATIFIED batches
+(batch/dp samples from each shard, strided class-balanced assignment,
+per-shard shuffle) gathered shard-locally via ``shard_map``: the input
+path stays collective-free at any scale.
 """
 from __future__ import annotations
 
@@ -32,22 +36,79 @@ import numpy as np
 from rovit_kan_tpu.data.dataset import epoch_shuffle_seed
 
 
+def make_sharded_gather(mesh):
+    """Shard-LOCAL batch gather for a P("data")-sharded dataset cache.
+
+    ``idx`` is a ``(dp, batch/dp)`` matrix of per-shard LOCAL row ids;
+    each device gathers its own rows from its own shard (a ``shard_map``
+    over the "data" axis — no collectives: the sharded input pipeline
+    never moves samples between devices). Outputs are the ``(batch, ...)``
+    arrays sharded P("data"), shard-major order."""
+    from jax.sharding import PartitionSpec as P
+
+    def local(im, lab, sev, idx):
+        i = idx[0]                       # (batch/dp,) rows of this shard
+        return im[i], lab[i], sev[i]
+
+    fn = jax.shard_map(local, mesh=mesh,
+                   in_specs=(P("data"), P("data"), P("data"), P("data")),
+                   out_specs=P("data"))
+
+    def gather(images, labels, severity, idx):
+        ims, labs, sevs = fn(images, labels, severity, idx)
+        return {"images": ims, "labels": labs, "severity": sevs}
+
+    return gather
+
+
 class DeviceLoader:
     """Device-resident dataset + fixed-shape batch iterator."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0,
                  device: Optional[jax.Device] = None, mesh=None,
-                 num_workers: int = 4):
+                 num_workers: int = 4, shard_data: bool = False):
         n = len(dataset)
         first = dataset[0]
-        images = np.empty((n, *first[0].shape), np.uint8)
-        labels = np.empty((n,), np.int32)
-        severity = np.empty((n,), np.float32)
+
+        # ---- sharded-storage layout ---------------------------------
+        # With ``shard_data`` the dataset is stored P("data") over the
+        # mesh (each device holds n/dp samples) instead of replicated —
+        # 1/dp the HBM. Samples are assigned to shards STRIDED
+        # (shard s owns globals s, s+dp, s+2*dp, ...) so the
+        # class-per-folder ordering spreads every class across every
+        # shard; batches are stratified (batch_size/dp samples from each
+        # shard, gathered shard-locally — zero collectives in the input
+        # path) and shuffling is per-shard, the standard sharded-input-
+        # pipeline trade (cf. tf.data shard-then-shuffle).
+        self.dp = 1
+        if shard_data and mesh is not None and "data" in mesh.shape \
+                and mesh.shape["data"] > 1:
+            self.dp = int(mesh.shape["data"])
+            if batch_size % self.dp != 0:
+                raise ValueError(f"shard_data needs batch_size "
+                                 f"({batch_size}) divisible by the data "
+                                 f"axis ({self.dp})")
+        self.sharded = self.dp > 1
+        rows_per = (n + self.dp - 1) // self.dp if self.sharded else n
+        n_store = rows_per * self.dp
+
+        images = np.zeros((n_store, *first[0].shape), np.uint8)
+        labels = np.zeros((n_store,), np.int32)
+        severity = np.zeros((n_store,), np.float32)
+
+        def store_row(i):
+            """Physical storage row of global sample i: shard-major when
+            sharded ([s * rows_per + local] for s = i % dp), identity
+            otherwise."""
+            if not self.sharded:
+                return i
+            return (i % self.dp) * rows_per + i // self.dp
 
         def fill(i):
             img, lab, sev = first if i == 0 else dataset[i]
-            images[i], labels[i], severity[i] = img, lab, sev
+            r = store_row(i)
+            images[r], labels[r], severity[r] = img, lab, sev
 
         if num_workers > 1 and n > 1:
             # Parallel decode (PIL and the native resize release the GIL) —
@@ -59,8 +120,9 @@ class DeviceLoader:
                 fill(i)
 
         if mesh is not None:
-            from rovit_kan_tpu.parallel.mesh import replicated_sharding
-            s = replicated_sharding(mesh)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            spec = P("data") if self.sharded else P()
+            s = NamedSharding(mesh, spec)
             put = lambda x: jax.device_put(x, s)           # noqa: E731
         elif device is not None:
             put = lambda x: jax.device_put(x, device)      # noqa: E731
@@ -77,15 +139,32 @@ class DeviceLoader:
         self.mesh = mesh
         self._epoch = 0
         self.n = n
+        self.rows_per_shard = rows_per
+        # Real (non-pad) rows per shard: shard s owns globals s, s+dp, ...
+        self._shard_sizes = [len(range(s, n, self.dp))
+                             for s in range(self.dp)]
 
-        @jax.jit
-        def _gather(images, labels, severity, idx, valid):
-            return {"images": images[idx], "labels": labels[idx],
-                    "severity": severity[idx], "valid": valid}
+        if self.sharded:
+            gather = make_sharded_gather(mesh)
+
+            @jax.jit
+            def _gather(images, labels, severity, idx, valid):
+                return {**gather(images, labels, severity, idx),
+                        "valid": valid}
+        else:
+            @jax.jit
+            def _gather(images, labels, severity, idx, valid):
+                return {"images": images[idx], "labels": labels[idx],
+                        "severity": severity[idx], "valid": valid}
 
         self._gather = _gather
 
     def __len__(self):
+        if self.sharded:
+            bpd = self.batch_size // self.dp
+            if self.shuffle or self.drop_last:
+                return min(self._shard_sizes) // bpd
+            return (max(self._shard_sizes) + bpd - 1) // bpd
         if self.drop_last:
             return self.n // self.batch_size
         return (self.n + self.batch_size - 1) // self.batch_size
@@ -96,6 +175,8 @@ class DeviceLoader:
 
     @property
     def nbytes(self) -> int:
+        """Global dataset bytes (per-device HBM = nbytes/dp when
+        ``shard_data``, nbytes when replicated)."""
         return (self._images.nbytes + self._labels.nbytes
                 + self._severity.nbytes)
 
@@ -117,18 +198,52 @@ class DeviceLoader:
         return order
 
     def epoch_index_plan(self) -> np.ndarray:
-        """This epoch's shuffled ``(steps, batch)`` int32 index matrix (full
-        batches only — the Trainer routes here only when ``drop_last``) for
-        the one-dispatch ``lax.scan`` training path."""
+        """This epoch's shuffled index matrix for the one-dispatch
+        ``lax.scan`` training path (full batches only — the Trainer routes
+        here only when ``drop_last``). Replicated cache: ``(steps, batch)``
+        global ids. Sharded cache: ``(steps, dp, batch/dp)`` per-shard
+        LOCAL ids (stratified batches, per-shard shuffle)."""
+        if self.sharded:
+            return self._sharded_train_plan()
         order = self._epoch_order()
         steps = self.n // self.batch_size
         return order[:steps * self.batch_size].reshape(
             steps, self.batch_size).astype(np.int32)
 
+    def _sharded_train_plan(self) -> np.ndarray:
+        self._epoch += 1
+        bpd = self.batch_size // self.dp
+        steps = min(self._shard_sizes) // bpd
+        rng = np.random.RandomState(
+            epoch_shuffle_seed(self.seed, self._epoch))
+        plan = np.zeros((steps, self.dp, bpd), np.int32)
+        for s in range(self.dp):
+            order = np.arange(self._shard_sizes[s])
+            if self.shuffle:
+                rng.shuffle(order)
+            plan[:, s, :] = order[:steps * bpd].reshape(steps, bpd)
+        return plan
+
+    def _sharded_eval_plan(self):
+        bpd = self.batch_size // self.dp
+        steps = (max(self._shard_sizes) + bpd - 1) // bpd
+        idx = np.zeros((steps, self.dp, bpd), np.int32)
+        valid = np.zeros((steps, self.dp, bpd), np.float32)
+        for s in range(self.dp):
+            flat = np.arange(self._shard_sizes[s])
+            for st in range(steps):
+                chunk = flat[st * bpd:(st + 1) * bpd]
+                idx[st, s, :len(chunk)] = chunk
+                valid[st, s, :len(chunk)] = 1.0
+        return idx, valid
+
     def eval_index_plan(self):
         """Unshuffled full-coverage ``(steps, batch)`` index plan plus the
         matching ``(steps, batch)`` valid mask (tail zero-padded) for the
-        scanned evaluation path."""
+        scanned evaluation path. Sharded cache: ``(steps, dp, batch/dp)``
+        local ids + matching valid mask."""
+        if self.sharded:
+            return self._sharded_eval_plan()
         bs = self.batch_size
         steps = (self.n + bs - 1) // bs
         idx = np.zeros((steps, bs), np.int32)
@@ -141,6 +256,21 @@ class DeviceLoader:
         return idx, valid
 
     def __iter__(self):
+        if self.sharded:
+            # Per-batch host-driven iteration over the same stratified
+            # plans the scan paths use (shard-local gathers).
+            if self.shuffle or self.drop_last:
+                plan = self._sharded_train_plan()
+                valid_plan = np.ones(plan.shape, np.float32)
+            else:
+                self._epoch += 1
+                plan, valid_plan = self._sharded_eval_plan()
+            for st in range(plan.shape[0]):
+                yield dict(self._gather(
+                    self._images, self._labels, self._severity,
+                    jnp.asarray(plan[st]),
+                    jnp.asarray(valid_plan[st].reshape(-1))))
+            return
         order = self._epoch_order()
         stop = self.n - self.n % self.batch_size if self.drop_last else self.n
         bs = self.batch_size
@@ -156,10 +286,14 @@ class DeviceLoader:
 
 
 def device_cache_loaders(train_ds, val_ds, test_ds, batch_size: int,
-                         seed: int = 42, mesh=None):
-    """Build HBM-resident loaders for the standard three splits."""
+                         seed: int = 42, mesh=None,
+                         shard_data: bool = False):
+    """Build HBM-resident loaders for the standard three splits.
+    ``shard_data`` stores each split P("data") over the mesh (1/dp HBM
+    per device, shard-local gathers) instead of replicated."""
     train = DeviceLoader(train_ds, batch_size, shuffle=True, drop_last=True,
-                         seed=seed, mesh=mesh)
-    val = DeviceLoader(val_ds, batch_size, mesh=mesh)
-    test = DeviceLoader(test_ds, batch_size, mesh=mesh)
+                         seed=seed, mesh=mesh, shard_data=shard_data)
+    val = DeviceLoader(val_ds, batch_size, mesh=mesh, shard_data=shard_data)
+    test = DeviceLoader(test_ds, batch_size, mesh=mesh,
+                        shard_data=shard_data)
     return train, val, test

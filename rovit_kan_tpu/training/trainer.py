@@ -161,24 +161,33 @@ def _batch_constrainer(mesh, axis_name: str = "data") -> Callable:
 
 
 def make_scanned_epoch(step_core: Callable, mesh=None,
-                       axis_name: str = "data") -> Callable:
+                       axis_name: str = "data",
+                       sharded_gather: bool = False) -> Callable:
     """Compile a WHOLE training epoch as one ``lax.scan`` over batch
     indices into an HBM-resident dataset (data/device_cache.py).
 
     One dispatch per epoch: the per-step host round-trip (dispatch latency,
     which dominates small-model steps) disappears entirely. With a multi-
     device ``mesh`` each gathered batch is constrained to shard over the
-    mesh, so the step runs SPMD exactly like the per-batch path. Signature:
+    mesh, so the step runs SPMD exactly like the per-batch path. With
+    ``sharded_gather`` the dataset arrays are stored P("data") and
+    ``idx_matrix`` is the ``(steps, dp, batch/dp)`` per-shard LOCAL plan —
+    each device gathers its own shard's rows (no collectives). Signature:
     ``(state, images, labels, severity, idx_matrix, stage, backbone_live,
     use_mix) -> (state, mean_metrics)``.
     """
     constrain = _batch_constrainer(mesh, axis_name)
+    if sharded_gather:
+        from rovit_kan_tpu.data.device_cache import make_sharded_gather
+        gather = make_sharded_gather(mesh)
+    else:
+        gather = lambda im, lab, sev, idx: {             # noqa: E731
+            "images": im[idx], "labels": lab[idx], "severity": sev[idx]}
 
     def epoch_fn(state: TrainState, images, labels, severity, idx_matrix,
                  stage, backbone_live, use_mix):
         def body(state, idx):
-            batch = constrain({"images": images[idx], "labels": labels[idx],
-                               "severity": severity[idx]})
+            batch = constrain(gather(images, labels, severity, idx))
             return step_core(state, batch, stage, backbone_live, use_mix)
 
         state, metrics = jax.lax.scan(body, state, idx_matrix)
@@ -411,8 +420,9 @@ class Trainer:
 
     def _train_epoch_scanned(self, state: TrainState, stage, lr, bb_live):
         if self._scanned_epoch is None:
-            self._scanned_epoch = make_scanned_epoch(self._step_core,
-                                                     mesh=self.mesh)
+            self._scanned_epoch = make_scanned_epoch(
+                self._step_core, mesh=self.mesh,
+                sharded_gather=getattr(self.train_loader, "sharded", False))
         use_mix = jnp.float32(self._use_mix)
         idx = jnp.asarray(self.train_loader.epoch_index_plan())
         images, labels, severity = self.train_loader.arrays
@@ -453,14 +463,25 @@ class Trainer:
         if not hasattr(self, "_scanned_val"):
             eval_core = self._eval_core
             constrain = _batch_constrainer(self.mesh)
+            if getattr(self.val_loader, "sharded", False):
+                from rovit_kan_tpu.data.device_cache import (
+                    make_sharded_gather)
+                sharded = make_sharded_gather(self.mesh)
+            else:
+                sharded = None
 
             def body(carry, plan):
                 idx, valid = plan
                 params, images, labels, severity = carry
-                batch = constrain({"images": images[idx],
-                                   "labels": labels[idx],
-                                   "severity": severity[idx],
-                                   "valid": valid})
+                if sharded is not None:
+                    batch = constrain({
+                        **sharded(images, labels, severity, idx),
+                        "valid": valid.reshape(-1)})
+                else:
+                    batch = constrain({"images": images[idx],
+                                       "labels": labels[idx],
+                                       "severity": severity[idx],
+                                       "valid": valid})
                 return carry, eval_core(params, batch)
 
             def epoch_fn(params, images, labels, severity, idx, valid):

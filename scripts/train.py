@@ -88,6 +88,11 @@ def main():
     p.add_argument("--device_cache", action="store_true",
                    help="cache the whole dataset in device HBM (pure-XLA "
                         "input pipeline; ~3GB for the full 20k-image set)")
+    p.add_argument("--device_cache_sharded", action="store_true",
+                   help="with --device_cache: store the dataset P('data') "
+                        "over the mesh (1/dp HBM per device, shard-local "
+                        "gathers, stratified batches + per-shard shuffle) "
+                        "instead of replicating it on every device")
     p.add_argument("--all_seeds", action="store_true",
                    help="run every seed in config.train.seeds (default "
                         "[42, 123, 999]) and report mean/std test metrics")
@@ -296,14 +301,21 @@ def main():
         elif args.fsdp:
             print(f"FSDP: params/grads/moments/EMA sharded over "
                   f"data={mesh.devices.shape[0]} (ZeRO-3)")
-        if args.device_cache:
+        if args.device_cache or args.device_cache_sharded:
             from rovit_kan_tpu.data.device_cache import device_cache_loaders
             train_l, val_l, test_l = device_cache_loaders(
                 train_l.dataset, val_l.dataset, test_l.dataset,
-                cfg.train.batch_size, seed=seed, mesh=mesh)
-            print(f"Device cache: {train_l.nbytes / 1e6:.0f} MB train "
-                  f"split resident in HBM (replicated over "
-                  f"{mesh.devices.size} device(s))")
+                cfg.train.batch_size, seed=seed, mesh=mesh,
+                shard_data=args.device_cache_sharded)
+            if train_l.sharded:
+                print(f"Device cache: {train_l.nbytes / 1e6:.0f} MB train "
+                      f"split in HBM, sharded P('data') — "
+                      f"{train_l.nbytes / train_l.dp / 1e6:.0f} MB/device "
+                      f"over {train_l.dp}")
+            else:
+                print(f"Device cache: {train_l.nbytes / 1e6:.0f} MB train "
+                      f"split resident in HBM (replicated over "
+                      f"{mesh.devices.size} device(s))")
         act_sharding = None
         if args.sequence_parallel:   # prereqs validated at parse time
             from rovit_kan_tpu.parallel.tensor import seq_sharding
