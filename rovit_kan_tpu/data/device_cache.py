@@ -61,6 +61,16 @@ def make_sharded_gather(mesh):
     return gather
 
 
+def make_gather(mesh, sharded: bool):
+    """Batch gather for a device cache: shard-local ``shard_map`` when the
+    cache is stored P("data"), plain indexing when replicated. One factory
+    serves the DeviceLoader and both Trainer scan paths."""
+    if sharded:
+        return make_sharded_gather(mesh)
+    return lambda im, lab, sev, idx: {
+        "images": im[idx], "labels": lab[idx], "severity": sev[idx]}
+
+
 class DeviceLoader:
     """Device-resident dataset + fixed-shape batch iterator."""
 
@@ -120,9 +130,10 @@ class DeviceLoader:
                 fill(i)
 
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            spec = P("data") if self.sharded else P()
-            s = NamedSharding(mesh, spec)
+            from rovit_kan_tpu.parallel.mesh import (batch_sharding,
+                                                     replicated_sharding)
+            s = (batch_sharding(mesh) if self.sharded
+                 else replicated_sharding(mesh))
             put = lambda x: jax.device_put(x, s)           # noqa: E731
         elif device is not None:
             put = lambda x: jax.device_put(x, device)      # noqa: E731
@@ -144,18 +155,12 @@ class DeviceLoader:
         self._shard_sizes = [len(range(s, n, self.dp))
                              for s in range(self.dp)]
 
-        if self.sharded:
-            gather = make_sharded_gather(mesh)
+        gather = make_gather(mesh, self.sharded)
 
-            @jax.jit
-            def _gather(images, labels, severity, idx, valid):
-                return {**gather(images, labels, severity, idx),
-                        "valid": valid}
-        else:
-            @jax.jit
-            def _gather(images, labels, severity, idx, valid):
-                return {"images": images[idx], "labels": labels[idx],
-                        "severity": severity[idx], "valid": valid}
+        @jax.jit
+        def _gather(images, labels, severity, idx, valid):
+            return {**gather(images, labels, severity, idx),
+                    "valid": valid}
 
         self._gather = _gather
 
@@ -224,13 +229,23 @@ class DeviceLoader:
             plan[:, s, :] = order[:steps * bpd].reshape(steps, bpd)
         return plan
 
-    def _sharded_eval_plan(self):
+    def _sharded_eval_plan(self, shuffled: bool = False):
+        """Full-coverage per-shard plan + valid mask (tails zero-padded).
+        ``shuffled`` permutes each shard's order first (epoch-keyed) — the
+        shuffle=True, drop_last=False iteration contract."""
         bpd = self.batch_size // self.dp
         steps = (max(self._shard_sizes) + bpd - 1) // bpd
         idx = np.zeros((steps, self.dp, bpd), np.int32)
         valid = np.zeros((steps, self.dp, bpd), np.float32)
+        rng = None
+        if shuffled:
+            self._epoch += 1
+            rng = np.random.RandomState(
+                epoch_shuffle_seed(self.seed, self._epoch))
         for s in range(self.dp):
             flat = np.arange(self._shard_sizes[s])
+            if rng is not None:
+                rng.shuffle(flat)
             for st in range(steps):
                 chunk = flat[st * bpd:(st + 1) * bpd]
                 idx[st, s, :len(chunk)] = chunk
@@ -258,13 +273,18 @@ class DeviceLoader:
     def __iter__(self):
         if self.sharded:
             # Per-batch host-driven iteration over the same stratified
-            # plans the scan paths use (shard-local gathers).
-            if self.shuffle or self.drop_last:
+            # plans the scan paths use (shard-local gathers). drop_last
+            # selects the full-batch train plan; otherwise the padded
+            # full-coverage plan (shuffled per shard when requested) so
+            # no sample is silently dropped.
+            if self.drop_last:
                 plan = self._sharded_train_plan()
                 valid_plan = np.ones(plan.shape, np.float32)
             else:
-                self._epoch += 1
-                plan, valid_plan = self._sharded_eval_plan()
+                plan, valid_plan = self._sharded_eval_plan(
+                    shuffled=self.shuffle)
+                if not self.shuffle:
+                    self._epoch += 1
             for st in range(plan.shape[0]):
                 yield dict(self._gather(
                     self._images, self._labels, self._severity,

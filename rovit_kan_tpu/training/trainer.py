@@ -145,9 +145,11 @@ def make_train_step(model, tx, config: Config,
 
 def _batch_constrainer(mesh, axis_name: str = "data") -> Callable:
     """Sharding constraint that keeps scanned-epoch batches data-parallel:
-    the dataset arrays are replicated over the mesh, so without this the
-    gathered batch would be replicated too and every chip would redundantly
-    compute the full batch."""
+    with a REPLICATED dataset cache the gathered batch would otherwise be
+    replicated too and every chip would redundantly compute the full
+    batch. (With a sharded cache the shard_map gather already emits
+    P("data") batches — there the constraint is a no-op kept for one
+    uniform body.)"""
     if mesh is None or mesh.devices.size <= 1:
         return lambda b: b
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -177,12 +179,8 @@ def make_scanned_epoch(step_core: Callable, mesh=None,
     use_mix) -> (state, mean_metrics)``.
     """
     constrain = _batch_constrainer(mesh, axis_name)
-    if sharded_gather:
-        from rovit_kan_tpu.data.device_cache import make_sharded_gather
-        gather = make_sharded_gather(mesh)
-    else:
-        gather = lambda im, lab, sev, idx: {             # noqa: E731
-            "images": im[idx], "labels": lab[idx], "severity": sev[idx]}
+    from rovit_kan_tpu.data.device_cache import make_gather
+    gather = make_gather(mesh, sharded_gather)
 
     def epoch_fn(state: TrainState, images, labels, severity, idx_matrix,
                  stage, backbone_live, use_mix):
@@ -420,9 +418,16 @@ class Trainer:
 
     def _train_epoch_scanned(self, state: TrainState, stage, lr, bb_live):
         if self._scanned_epoch is None:
+            sharded = getattr(self.train_loader, "sharded", False)
+            if sharded and self.train_loader.mesh is not self.mesh:
+                # The gather shard_maps over the Trainer mesh; arrays
+                # committed to a different mesh would mis-split the plans
+                # (e.g. a Trainer left on its default 1-device mesh).
+                raise ValueError(
+                    "sharded DeviceLoader and Trainer must share one mesh "
+                    "— pass the loader's mesh to Trainer(mesh=...)")
             self._scanned_epoch = make_scanned_epoch(
-                self._step_core, mesh=self.mesh,
-                sharded_gather=getattr(self.train_loader, "sharded", False))
+                self._step_core, mesh=self.mesh, sharded_gather=sharded)
         use_mix = jnp.float32(self._use_mix)
         idx = jnp.asarray(self.train_loader.epoch_index_plan())
         images, labels, severity = self.train_loader.arrays
@@ -463,25 +468,20 @@ class Trainer:
         if not hasattr(self, "_scanned_val"):
             eval_core = self._eval_core
             constrain = _batch_constrainer(self.mesh)
-            if getattr(self.val_loader, "sharded", False):
-                from rovit_kan_tpu.data.device_cache import (
-                    make_sharded_gather)
-                sharded = make_sharded_gather(self.mesh)
-            else:
-                sharded = None
+            from rovit_kan_tpu.data.device_cache import make_gather
+            sharded = getattr(self.val_loader, "sharded", False)
+            if sharded and self.val_loader.mesh is not self.mesh:
+                raise ValueError(
+                    "sharded DeviceLoader and Trainer must share one mesh "
+                    "— pass the loader's mesh to Trainer(mesh=...)")
+            gather = make_gather(self.mesh, sharded)
 
             def body(carry, plan):
                 idx, valid = plan
                 params, images, labels, severity = carry
-                if sharded is not None:
-                    batch = constrain({
-                        **sharded(images, labels, severity, idx),
-                        "valid": valid.reshape(-1)})
-                else:
-                    batch = constrain({"images": images[idx],
-                                       "labels": labels[idx],
-                                       "severity": severity[idx],
-                                       "valid": valid})
+                batch = constrain({
+                    **gather(images, labels, severity, idx),
+                    "valid": valid.reshape(-1) if sharded else valid})
                 return carry, eval_core(params, batch)
 
             def epoch_fn(params, images, labels, severity, idx, valid):

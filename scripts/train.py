@@ -89,10 +89,11 @@ def main():
                    help="cache the whole dataset in device HBM (pure-XLA "
                         "input pipeline; ~3GB for the full 20k-image set)")
     p.add_argument("--device_cache_sharded", action="store_true",
-                   help="with --device_cache: store the dataset P('data') "
-                        "over the mesh (1/dp HBM per device, shard-local "
-                        "gathers, stratified batches + per-shard shuffle) "
-                        "instead of replicating it on every device")
+                   help="implies --device_cache, storing the dataset "
+                        "P('data') over the mesh (1/dp HBM per device, "
+                        "shard-local gathers, stratified batches + "
+                        "per-shard shuffle) instead of replicating it on "
+                        "every device")
     p.add_argument("--all_seeds", action="store_true",
                    help="run every seed in config.train.seeds (default "
                         "[42, 123, 999]) and report mean/std test metrics")

@@ -252,6 +252,40 @@ def test_sharded_cache_batch_divisibility_error():
         DeviceLoader(_IdDS(16), 12, mesh=mesh, shard_data=True)
 
 
+def test_sharded_cache_shuffled_full_coverage():
+    """shuffle=True without drop_last must still yield EVERY sample
+    (padded + valid-masked tails, per-shard shuffled order) — the
+    drop_last=False full-coverage contract."""
+    from rovit_kan_tpu.data.device_cache import DeviceLoader
+    _, _, mesh, _ = _setup(8)
+    n = 29
+    loader = DeviceLoader(_IdDS(n), 16, shuffle=True, mesh=mesh,
+                          shard_data=True)
+    orders = []
+    for _ in range(2):                       # two epochs
+        seen = [int(np.asarray(b["images"])[j, 0, 0, 0])
+                for b in loader
+                for j in range(16) if np.asarray(b["valid"])[j]]
+        assert sorted(seen) == list(range(n))
+        orders.append(seen)
+    assert orders[0] != orders[1]            # epoch-keyed shuffle moves
+
+
+def test_sharded_cache_trainer_mesh_mismatch_error():
+    """A sharded loader on a different mesh than the Trainer must raise a
+    clear error, not mis-split the plans."""
+    from rovit_kan_tpu.data.device_cache import DeviceLoader
+    from rovit_kan_tpu.parallel.mesh import make_mesh
+
+    cfg, model, mesh, _ = _setup(8)
+    loader = DeviceLoader(_IdDS(32), 16, shuffle=True, drop_last=True,
+                          mesh=mesh, shard_data=True)
+    trainer = Trainer(model, loader, loader, cfg, mesh=make_mesh(1), seed=0)
+    state = trainer.init_state()
+    with pytest.raises(ValueError, match="share one mesh"):
+        trainer.train_epoch(state, epoch=10)
+
+
 # ---------------------------------------------------------------------------
 # Tensor parallelism (2-D data x model mesh, parallel/tensor.py)
 # ---------------------------------------------------------------------------
