@@ -103,9 +103,39 @@ class DeviceLoader:
         rows_per = (n + self.dp - 1) // self.dp if self.sharded else n
         n_store = rows_per * self.dp
 
-        images = np.zeros((n_store, *first[0].shape), np.uint8)
-        labels = np.zeros((n_store,), np.int32)
-        severity = np.zeros((n_store,), np.float32)
+        s = None
+        if mesh is not None:
+            from rovit_kan_tpu.parallel.mesh import (batch_sharding,
+                                                     replicated_sharding)
+            s = (batch_sharding(mesh) if self.sharded
+                 else replicated_sharding(mesh))
+
+        # Multi-host: each process decodes ONLY the rows of its own
+        # addressable shards (1/process_count of the dataset per host —
+        # host RAM and decode time scale down with the job) and the global
+        # array is assembled from the per-process blocks.
+        lo, hi = 0, n_store
+        multihost = (self.sharded and mesh is not None
+                     and jax.process_count() > 1)
+        if multihost:
+            smap = s.addressable_devices_indices_map((n_store,))
+            bounds = sorted(
+                ((sl[0].start or 0,
+                  n_store if sl[0].stop is None else sl[0].stop)
+                 for sl in smap.values()))
+            lo, hi = bounds[0][0], bounds[-1][1]
+            cover = lo
+            for b0, b1 in bounds:
+                if b0 > cover:
+                    raise ValueError(
+                        "non-contiguous addressable shards — sharded "
+                        "device cache needs process-major device order "
+                        "(parallel.multihost.global_mesh)")
+                cover = max(cover, b1)
+
+        images = np.zeros((hi - lo, *first[0].shape), np.uint8)
+        labels = np.zeros((hi - lo,), np.int32)
+        severity = np.zeros((hi - lo,), np.float32)
 
         def store_row(i):
             """Physical storage row of global sample i: shard-major when
@@ -116,9 +146,11 @@ class DeviceLoader:
             return (i % self.dp) * rows_per + i // self.dp
 
         def fill(i):
-            img, lab, sev = first if i == 0 else dataset[i]
             r = store_row(i)
-            images[r], labels[r], severity[r] = img, lab, sev
+            if not lo <= r < hi:
+                return                       # another host's shard
+            img, lab, sev = first if i == 0 else dataset[i]
+            images[r - lo], labels[r - lo], severity[r - lo] = img, lab, sev
 
         if num_workers > 1 and n > 1:
             # Parallel decode (PIL and the native resize release the GIL) —
@@ -129,11 +161,10 @@ class DeviceLoader:
             for i in range(n):
                 fill(i)
 
-        if mesh is not None:
-            from rovit_kan_tpu.parallel.mesh import (batch_sharding,
-                                                     replicated_sharding)
-            s = (batch_sharding(mesh) if self.sharded
-                 else replicated_sharding(mesh))
+        if multihost:
+            put = lambda x: jax.make_array_from_process_local_data(  # noqa
+                s, x, (n_store, *x.shape[1:]))
+        elif mesh is not None:
             put = lambda x: jax.device_put(x, s)           # noqa: E731
         elif device is not None:
             put = lambda x: jax.device_put(x, device)      # noqa: E731

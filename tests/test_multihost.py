@@ -113,6 +113,84 @@ _WORKER = textwrap.dedent("""
 """)
 
 
+_CACHE_WORKER = textwrap.dedent("""
+    import sys
+    import jax
+    jax.config.update("jax_num_cpu_devices", 4)
+    jax.config.update("jax_platforms", "cpu")
+    pid, port, repo = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    sys.path.insert(0, repo)
+    from rovit_kan_tpu.parallel.multihost import (
+        maybe_initialize_distributed, global_mesh)
+    assert maybe_initialize_distributed(
+        coordinator_address=f"localhost:{port}", num_processes=2,
+        process_id=pid)
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+    from rovit_kan_tpu.data.device_cache import DeviceLoader
+
+    class IdDS:
+        def __init__(self, n):
+            self.n = n
+            self.reads = 0
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            self.reads += 1
+            return np.full((8, 8, 3), i, np.uint8), int(i % 4), float(i % 4)
+
+    mesh = global_mesh()                     # 8 devices over 2 processes
+    ds = IdDS(32)
+    loader = DeviceLoader(ds, 16, mesh=mesh, shard_data=True)
+    # Each host decodes ONLY its 4 shards (16 samples) + the shape probe.
+    assert ds.reads <= 32 // 2 + 1, ds.reads
+    shard_rows = {s.data.shape[0]
+                  for s in loader._images.addressable_shards}
+    assert shard_rows == {4}, shard_rows     # 32/8 rows per device
+
+    _, valid_plan = loader._sharded_eval_plan()
+    seen = []
+    for st, batch in enumerate(loader):
+        labs = multihost_utils.process_allgather(batch["labels"],
+                                                 tiled=True)
+        ims = multihost_utils.process_allgather(batch["images"],
+                                                tiled=True)
+        valid = valid_plan[st].reshape(-1)
+        for j in range(labs.shape[0]):
+            if valid[j]:
+                gid = int(ims[j, 0, 0, 0])
+                assert labs[j] == gid % 4, (labs[j], gid)
+                seen.append(gid)
+    assert sorted(seen) == list(range(32)), sorted(seen)
+    print(f"MH_CACHE_OK {pid} reads={ds.reads}", flush=True)
+""")
+
+
+def test_two_process_sharded_device_cache():
+    """2 real processes x 4 CPU devices: the sharded device cache decodes
+    only each host's own shards, assembles one global P('data') array,
+    and shard-local gathers serve every sample exactly once."""
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        worker = Path(td) / "cache_worker.py"
+        worker.write_text(_CACHE_WORKER)
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = str(s.getsockname()[1])
+        procs = [subprocess.Popen(
+            [sys.executable, str(worker), str(pid), port, str(REPO)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+            for pid in range(2)]
+        outs = [p.communicate(timeout=500)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-2000:]
+        assert all(f"MH_CACHE_OK {pid}" in out
+                   for pid, out in enumerate(outs)), outs
+
+
 _CKPT_WORKER = textwrap.dedent("""
     import sys
     import jax
