@@ -333,6 +333,54 @@ def test_microbatcher_pipelines_dispatch_before_fetch():
         batcher.close()
 
 
+def test_microbatcher_stress_random_sizes():
+    """Fuzz: 60 requests of random sizes from 4 threads, a jittery engine
+    — every future resolves with exactly ITS rows (identity encoded in
+    the pixel values), nothing drops, nothing cross-slices."""
+    import threading
+    import time as _time
+    from rovit_kan_tpu.serving import MicroBatcher
+
+    rng = np.random.RandomState(0)
+
+    class EchoEngine:
+        batch_size = 8
+        model = None
+
+        def predict(self, imgs):
+            _time.sleep(rng.uniform(0, 0.003))   # jitter the device time
+            # Echo each row's identity byte back as its prediction.
+            return {"cls_pred": imgs[:, 0, 0, 0].astype(np.int32)}
+
+        def stats(self):
+            return {}
+
+    batcher = MicroBatcher(EchoEngine(), window_ms=2.0)
+    sizes = [int(s) for s in np.random.RandomState(1).randint(1, 13, 60)]
+    results: dict = {}
+
+    def client(ids):
+        for i in ids:
+            req = np.full((sizes[i], 8, 8, 3), i % 251, np.uint8)
+            results[i] = (i % 251, batcher.submit(req))
+
+    try:
+        threads = [threading.Thread(target=client,
+                                    args=(range(t, 60, 4),))
+                   for t in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert len(results) == 60
+        for i, (ident, fut) in results.items():
+            out = fut.result(timeout=60)["cls_pred"]
+            assert out.shape == (sizes[i],)
+            assert np.all(out == ident), (i, ident, out)
+    finally:
+        batcher.close()
+
+
 def test_microbatcher_close_drains_carry():
     """close() resolves a carried (didn't-fit) request, not just queued
     ones."""
