@@ -175,13 +175,26 @@ def main():
     engine.warmup()
     server = make_server(engine, args.host, args.port,
                          batch_window_ms=args.batch_window_ms)
+
+    # Graceful stop on SIGTERM (the orchestrator/load-balancer stop
+    # signal), same drain path as Ctrl-C: stop accepting, finish queued
+    # inference, exit 0. shutdown() must run off the serving thread.
+    import signal
+    import threading
+
+    def _term(signum, frame):
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
+
     print(f"Serving on http://{args.host}:{server.server_address[1]} "
-          f"(POST /predict, GET /healthz)")
+          f"(POST /predict, GET /healthz, GET /metrics)")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         server.shutdown()
     finally:
+        server.server_close()
         server.batcher.close()   # drain queued requests before exit
 
 
