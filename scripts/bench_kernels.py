@@ -71,17 +71,19 @@ def bench_variant(use_pallas, bf16: bool, batch: int,
         out = model.apply({"params": params}, x, deterministic=True)
         return acc + jnp.sum(out["cls_logits"].astype(jnp.float32))
 
-    acc = fwd_acc(params, x, jnp.zeros((), jnp.float32))
-    float(acc)
-    for _ in range(3):
-        acc = fwd_acc(params, x, acc)
-    float(acc)
-    acc = jnp.zeros((), jnp.float32)
-    t0 = time.perf_counter()
-    for _ in range(fwd_iters):
-        acc = fwd_acc(params, x, acc)
-    assert np.isfinite(float(acc))
-    fwd_ms = (time.perf_counter() - t0) / fwd_iters * 1e3
+    fwd_ms = float("nan")
+    if fwd_iters > 0:
+        acc = fwd_acc(params, x, jnp.zeros((), jnp.float32))
+        float(acc)
+        for _ in range(3):
+            acc = fwd_acc(params, x, acc)
+        float(acc)
+        acc = jnp.zeros((), jnp.float32)
+        t0 = time.perf_counter()
+        for _ in range(fwd_iters):
+            acc = fwd_acc(params, x, acc)
+        assert np.isfinite(float(acc))
+        fwd_ms = (time.perf_counter() - t0) / fwd_iters * 1e3
 
     tx = build_optimizer(config)
     train_step, _ = make_train_step(model, tx, config)
@@ -112,8 +114,10 @@ def bench_variant(use_pallas, bf16: bool, batch: int,
 
     return {"pallas_attn": pallas_attn, "pallas_kan": pallas_kan,
             "pallas_block": pallas_block, "bf16": bf16,
-            "fwd_ms": round(fwd_ms, 3), "train_ms": round(train_ms, 3),
-            "fwd_ips": round(batch / fwd_ms * 1e3, 1),
+            "fwd_ms": round(fwd_ms, 3) if fwd_iters > 0 else None,
+            "train_ms": round(train_ms, 3),
+            "fwd_ips": (round(batch / fwd_ms * 1e3, 1)
+                        if fwd_iters > 0 else None),
             "train_ips": round(batch / train_ms * 1e3, 1)}
 
 
@@ -135,6 +139,11 @@ def main():
     p.add_argument("--block", action="store_true",
                    help="A/B the whole-block fused kernel "
                         "(ops/block_kernel.py) against pure XLA")
+    p.add_argument("--resid_ab", action="store_true",
+                   help="3-arm same-session A/B of the block kernel's "
+                        "backward: saved-residual "
+                        "(ROVIT_BLOCK_RESIDUAL_BWD=1) vs recompute "
+                        "(default) vs pure XLA")
     args = p.parse_args()
     scale = {k: v for k, v in [("embed_dim", args.embed_dim),
                                ("depth", args.depth),
@@ -158,12 +167,23 @@ def main():
     combos = [(up, bf, False) for up, bf in combos]
     if args.block:
         combos = [((False, False), True, True), ((False, False), True, False)]
-    for use_pallas, bf16, pblock in combos:
+    if args.resid_ab:
+        # (pallas flags, bf16, pallas_block, ROVIT_BLOCK_RESIDUAL_BWD)
+        combos = [((False, False), True, True, "1"),
+                  ((False, False), True, True, "0"),
+                  ((False, False), True, False, "0")]
+    else:
+        combos = [c + ("0",) for c in combos]
+    import os
+    for use_pallas, bf16, pblock, residual in combos:
+        os.environ["ROVIT_BLOCK_RESIDUAL_BWD"] = residual
         r = bench_variant(use_pallas, bf16, args.batch,
                           args.fwd_iters, args.train_iters, scale=scale,
                           pallas_block=pblock)
+        r["residual_bwd"] = residual == "1"
         rows.append(r)
         print(json.dumps(r), flush=True)
+    os.environ.pop("ROVIT_BLOCK_RESIDUAL_BWD", None)
 
     result = {"device": str(jax.devices()[0].device_kind),
               "scale": scale, "rows": rows}

@@ -111,3 +111,42 @@ def test_fused_block_matches_flax_block():
     got = fused_vit_block(x, p, 3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_residual_bwd_matches_recompute_bwd(monkeypatch):
+    """The recompute backward (default — it wins the on-chip A/B) and the
+    saved-residual backward (ROVIT_BLOCK_RESIDUAL_BWD=1) are the same
+    math — in fp32 the saved intermediates are exact, so gradients must
+    agree to float tolerance."""
+    rng = np.random.RandomState(7)
+    p = _params(rng, D=64, hidden=128)
+    x = jnp.asarray(rng.normal(0, 1, (2, 17, 64)), jnp.float32)
+
+    def loss(xx, pp):
+        return jnp.sum(fused_vit_block(xx, pp, 2) ** 2)
+
+    monkeypatch.setenv("ROVIT_BLOCK_RESIDUAL_BWD", "1")
+    g_res = jax.grad(loss, argnums=(0, 1))(x, p)
+    monkeypatch.delenv("ROVIT_BLOCK_RESIDUAL_BWD", raising=False)
+    g_rec = jax.grad(loss, argnums=(0, 1))(x, p)
+    for a, b in zip(jax.tree.leaves(g_res), jax.tree.leaves(g_rec)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_residual_fwd_matches_plain_fwd():
+    """The residual-spilling forward must return the identical block
+    output as the single-output inference kernel (same math, extra
+    writes)."""
+    from rovit_kan_tpu.ops.block_kernel import _fused_block_res_impl
+    rng = np.random.RandomState(8)
+    p = _params(rng)
+    x = jnp.asarray(rng.normal(0, 1, (2, 197, 192)), jnp.float32)
+    plain = fused_vit_block(x, p, 3)
+    out, qkv, attn, a1 = _fused_block_res_impl(
+        x, *(p[k] for k in _PKEYS), heads=3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(out))
+    # Residual shapes: padded-token layout, compute dtype.
+    assert qkv.shape == (2, 200, 3 * 192)
+    assert attn.shape == (2, 200, 192)
+    assert a1.shape == (2, 200, 768)
