@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -237,6 +238,201 @@ class MobileNetV3Large(nn.Module):
         return _hswish(x)                                # (B, 1280)
 
 
+# ----------------------------------------------------------------- VGG16
+class VGG16(nn.Module):
+    """VGG-16 (Simonyan & Zisserman 2014), ~134M params at 4 classes.
+
+    One of the two baselines the reference *skipped* for CPU cost
+    (`/root/reference/experiments/baselines.py:62-64` — "VGG16 too big
+    and slow for CPU"); on a TPU its 3x3 conv stacks are cheap MXU work,
+    so the comparison the reference wanted is actually run here.
+    torchvision layout (conv-relu stacks, no BatchNorm, 2x 4096 FC with
+    dropout); the flatten handles any input size divisible by 32 (7x7x512
+    at the canonical 224px)."""
+    dtype: Any = jnp.float32
+    cfg: Sequence[Any] = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+                          512, 512, 512, "M", 512, 512, 512, "M")
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ci = 0
+        for v in self.cfg:
+            if v == "M":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            else:
+                x = nn.relu(nn.Conv(v, (3, 3), padding=1, dtype=self.dtype,
+                                    name=f"conv{ci}")(x))
+                ci += 1
+        x = x.reshape(x.shape[0], -1)                    # (B, 7*7*512)
+        x = nn.relu(nn.Dense(4096, dtype=self.dtype, name="fc1")(x))
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.relu(nn.Dense(4096, dtype=self.dtype, name="fc2")(x))
+        return x.astype(jnp.float32)                     # (B, 4096)
+
+
+# -------------------------------------------------------------- Swin-Tiny
+def _rel_pos_index(ws: int):
+    """Static (ws^2, ws^2) index into the (2ws-1)^2 relative-bias table."""
+    import numpy as np
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws),
+                                  indexing="ij")).reshape(2, -1)
+    rel = (coords[:, :, None] - coords[:, None, :]).transpose(1, 2, 0)
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel[..., 0] + rel[..., 1]
+
+
+def _shift_mask(H: int, W: int, ws: int, shift: int):
+    """Static (nW, ws^2, ws^2) additive attention mask for SW-MSA: tokens
+    from different pre-roll regions must not attend to each other."""
+    import numpy as np
+    img = np.zeros((H, W), np.int32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for vs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[hs, vs] = cnt
+            cnt += 1
+    wins = img.reshape(H // ws, ws, W // ws, ws).transpose(0, 2, 1, 3) \
+        .reshape(-1, ws * ws)
+    diff = wins[:, None, :] != wins[:, :, None]
+    return np.where(diff, -100.0, 0.0).astype(np.float32)
+
+
+def _window_partition(x, ws: int):
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // ws, ws, W // ws, ws, C).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, C)           # (B*nW, N, C)
+
+
+def _window_reverse(w, ws: int, H: int, W: int):
+    B = w.shape[0] // ((H // ws) * (W // ws))
+    x = w.reshape(B, H // ws, W // ws, ws, ws, -1).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, W, -1)
+
+
+class _WindowAttention(nn.Module):
+    dim: int
+    heads: int
+    ws: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        Bn, N, C = x.shape
+        hd = C // self.heads
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(Bn, N, 3, self.heads, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * hd ** -0.5, qkv[1], qkv[2]
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       preferred_element_type=jnp.float32)
+        table = self.param(
+            "rel_bias", nn.initializers.truncated_normal(0.02),
+            ((2 * self.ws - 1) ** 2, self.heads))
+        idx = jnp.asarray(_rel_pos_index(self.ws))
+        bias = table[idx].transpose(2, 0, 1)            # (h, N, N)
+        s = s + bias[None].astype(jnp.float32)
+        if mask is not None:                            # (nW, N, N)
+            nW = mask.shape[0]
+            s = s.reshape(Bn // nW, nW, self.heads, N, N) \
+                + mask[None, :, None].astype(jnp.float32)
+            s = s.reshape(Bn, self.heads, N, N)
+        p = jax.nn.softmax(s, axis=-1).astype(self.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v,
+                       preferred_element_type=jnp.float32)
+        o = o.astype(self.dtype).transpose(0, 2, 1, 3).reshape(Bn, N, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(o)
+
+
+class _SwinBlock(nn.Module):
+    dim: int
+    heads: int
+    ws: int
+    shift: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):                               # (B, H, W, C)
+        B, H, W, C = x.shape
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(
+            x.astype(jnp.float32)).astype(self.dtype)
+        if self.shift:
+            y = jnp.roll(y, (-self.shift, -self.shift), axis=(1, 2))
+        wins = _window_partition(y, self.ws)
+        mask = (jnp.asarray(_shift_mask(H, W, self.ws, self.shift))
+                if self.shift else None)
+        wins = _WindowAttention(self.dim, self.heads, self.ws,
+                                dtype=self.dtype, name="attn")(wins, mask)
+        y = _window_reverse(wins, self.ws, H, W)
+        if self.shift:
+            y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
+        x = x + y.astype(x.dtype)
+        z = nn.LayerNorm(dtype=jnp.float32, name="norm2")(
+            x.astype(jnp.float32)).astype(self.dtype)
+        z = nn.Dense(4 * C, dtype=self.dtype, name="fc1")(z)
+        z = nn.gelu(z, approximate=False)
+        z = nn.Dense(C, dtype=self.dtype, name="fc2")(z)
+        return x + z.astype(x.dtype)
+
+
+class _PatchMerging(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):                               # (B, H, W, C)
+        B, H, W, C = x.shape
+        x = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(B, H // 2, W // 2, 4 * C)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(
+            x.astype(jnp.float32)).astype(self.dtype)
+        return nn.Dense(2 * C, use_bias=False, dtype=self.dtype,
+                        name="reduction")(x)
+
+
+class SwinTiny(nn.Module):
+    """Swin-Tiny (Liu et al. 2021): patch 4, embed 96, depths (2,2,6,2),
+    heads (3,6,12,24), window 7 — ~27.5M params at 4 classes.
+
+    The second baseline the reference skipped for CPU cost
+    (`/root/reference/experiments/baselines.py:62-64`). TPU-native
+    formulation: window partition/reverse are static reshape+transpose,
+    the SW-MSA cyclic shift is a static `jnp.roll`, and both the relative-
+    position index and the shifted-window attention mask are precomputed
+    static numpy constants — no dynamic shapes anywhere, everything jits
+    to one program. Stochastic depth is omitted (short from-scratch runs;
+    param count is unaffected)."""
+    dtype: Any = jnp.float32
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    heads: Sequence[int] = (3, 6, 12, 24)
+    window: int = 7
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.embed_dim, (4, 4), strides=(4, 4),
+                    dtype=self.dtype, name="patch_embed")(x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="patch_norm")(
+            x.astype(jnp.float32)).astype(self.dtype)
+        for si, (depth, heads) in enumerate(zip(self.depths, self.heads)):
+            dim = self.embed_dim * 2 ** si
+            # Largest window <= the canonical 7 that divides the feature
+            # map side (224px gives 56/28/14/7 — all exact; tiny test
+            # images fall back to a smaller divisor, still fully static).
+            ws = min(self.window, x.shape[1])
+            while x.shape[1] % ws:
+                ws -= 1
+            for bi in range(depth):
+                shift = ws // 2 if (bi % 2 == 1 and ws < x.shape[1]) else 0
+                x = _SwinBlock(dim, heads, ws, shift, dtype=self.dtype,
+                               name=f"stage{si}_block{bi}")(x)
+            if si < len(self.depths) - 1:
+                x = _PatchMerging(dtype=self.dtype,
+                                  name=f"merge{si}")(x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(
+            x.astype(jnp.float32))
+        return x.mean(axis=(1, 2))                       # (B, 768)
+
+
 class DeiTTinyClassifier(nn.Module):
     """Vanilla DeiT-Tiny classifier (the reference's strongest baseline)."""
     dtype: Any = jnp.float32
@@ -256,6 +452,8 @@ BACKBONES: Dict[str, Any] = {
     "resnet50": ResNet50,
     "efficientnet_b0": EfficientNetB0,
     "mobilenetv3_large": MobileNetV3Large,
+    "vgg16": VGG16,
+    "swin_tiny": SwinTiny,
 }
 
 

@@ -19,7 +19,9 @@ def main():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--models", nargs="+", default=None,
                    help="subset of: deit_tiny efficientnet_b0 "
-                        "mobilenetv3_large resnet50")
+                        "mobilenetv3_large resnet50 vgg16 swin_tiny "
+                        "(the last two are the baselines the reference "
+                        "skipped for CPU cost)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--n-per-class", type=int, default=16,
                    help="synthetic augmented images per class")
