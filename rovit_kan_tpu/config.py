@@ -161,6 +161,12 @@ class TPUConfig:
     # independent). Auto-disabled under tensor parallelism, where moments
     # must shard per-parameter.
     fused_optimizer: bool = True
+    # Whole-augmentation-chain fused kernel (ops/augment_kernel.py): one
+    # uint8 read -> one normalized write per batch, flips/grayscale as
+    # constant-matrix MXU matmuls. "auto" = on TPU when the backbone runs
+    # bf16 (the kernel computes in bf16; the XLA f32 chain stays the
+    # default for exact-parity f32 training). True/False force it.
+    fused_augment: "bool | str" = "auto"
     donate_state: bool = True
     # Rematerialize backbone blocks on backward (activation memory ~ O(1)
     # in depth instead of O(depth); enables very large batches).

@@ -21,19 +21,26 @@ import jax
 import jax.numpy as jnp
 
 
-def mixup(key: jax.Array, images: jnp.ndarray, alpha: float = 0.2):
-    """MixUp: convex combination with lam ~ Beta(alpha, alpha)."""
+def _mixup_spec(key: jax.Array, batch: int, alpha: float = 0.2):
+    """MixUp coefficients only: (perm, lam) — no image pass."""
     k_lam, k_perm = jax.random.split(key)
     lam = jax.random.beta(k_lam, alpha, alpha)
-    perm = jax.random.permutation(k_perm, images.shape[0])
+    perm = jax.random.permutation(k_perm, batch)
+    return perm, lam
+
+
+def mixup(key: jax.Array, images: jnp.ndarray, alpha: float = 0.2):
+    """MixUp: convex combination with lam ~ Beta(alpha, alpha)."""
+    perm, lam = _mixup_spec(key, images.shape[0], alpha)
     mixed = lam * images + (1.0 - lam) * images[perm]
     return mixed, perm, lam
 
 
-def cutmix(key: jax.Array, images: jnp.ndarray, alpha: float = 1.0):
-    """CutMix: paste a random box from a permuted batch; lam = kept area
-    fraction. Box realized as an iota mask (static shapes)."""
-    B, H, W, _ = images.shape
+def _cutmix_spec(key: jax.Array, bhw, alpha: float = 1.0):
+    """CutMix coefficients only: (perm, mask (1, H, W, 1), lam) — the
+    box realized as an iota mask (static shapes), lam recomputed from the
+    realized area; no image pass."""
+    B, H, W = bhw
     k_lam, k_perm, k_x, k_y = jax.random.split(key, 4)
     lam0 = jax.random.beta(k_lam, alpha, alpha)
     perm = jax.random.permutation(k_perm, B)
@@ -51,10 +58,18 @@ def cutmix(key: jax.Array, images: jnp.ndarray, alpha: float = 1.0):
     rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     in_box = ((rows >= y0) & (rows < y1) & (cols >= x0) & (cols < x1))
-    mask = in_box[None, :, :, None].astype(images.dtype)
-
-    mixed = images * (1.0 - mask) + images[perm] * mask
+    mask = in_box[None, :, :, None].astype(jnp.float32)
     lam = 1.0 - ((y1 - y0) * (x1 - x0)).astype(jnp.float32) / (H * W)
+    return perm, mask, lam
+
+
+def cutmix(key: jax.Array, images: jnp.ndarray, alpha: float = 1.0):
+    """CutMix: paste a random box from a permuted batch; lam = kept area
+    fraction."""
+    B, H, W, _ = images.shape
+    perm, mask, lam = _cutmix_spec(key, (B, H, W), alpha)
+    mask = mask.astype(images.dtype)
+    mixed = images * (1.0 - mask) + images[perm] * mask
     return mixed, perm, lam
 
 
@@ -83,10 +98,22 @@ def cutmix_or_mixup(
     else:
         pick_cutmix = jnp.bool_(use_cutmix)
 
-    cm_img, cm_perm, cm_lam = cutmix(k_mix, images, cutmix_alpha)
-    mu_img, mu_perm, mu_lam = mixup(k_mix, images, mixup_alpha)
+    # Both mixes are the same blend a*images + b*images[perm]; they differ
+    # only in the (tiny) coefficient tensors and the permutation. Select
+    # those FIRST, then pay the two full-tensor passes + batch gather
+    # once — not once per branch plus a third select pass (the old
+    # formulation was ~6 full-tensor passes, this is ~3; outputs are
+    # bitwise identical because the winning branch's expression is
+    # unchanged).
+    B, H, W, _ = images.shape
+    cm_perm, cm_mask, cm_lam = _cutmix_spec(k_mix, (B, H, W), cutmix_alpha)
+    mu_perm, mu_lam = _mixup_spec(k_mix, B, mixup_alpha)
 
-    mixed = jnp.where(pick_cutmix, cm_img, mu_img)
+    a = jnp.where(pick_cutmix, 1.0 - cm_mask, mu_lam)      # (1, H, W, 1)
+    b = jnp.where(pick_cutmix, cm_mask, 1.0 - mu_lam)
     perm = jnp.where(pick_cutmix, cm_perm, mu_perm)
     lam = jnp.where(pick_cutmix, cm_lam, mu_lam)
+
+    mixed = a.astype(images.dtype) * images \
+        + b.astype(images.dtype) * images[perm]
     return mixed, labels, labels[perm], lam.astype(jnp.float32)

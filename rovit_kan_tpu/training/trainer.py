@@ -30,6 +30,7 @@ import optax
 import flax.struct
 
 from rovit_kan_tpu.config import Config
+from rovit_kan_tpu.ops.augment_kernel import fused_augment_batch
 from rovit_kan_tpu.ops.mixing import cutmix_or_mixup
 from rovit_kan_tpu.ops.preprocess import augment_batch, eval_batch
 from rovit_kan_tpu.training.losses import joint_loss
@@ -84,20 +85,43 @@ def make_train_step(model, tx, config: Config,
     if forward_fn is None:
         forward_fn = _default_forward(model)
 
+    # Measured augment policy: the fused kernel computes in bf16, so
+    # "auto" engages it exactly where the model itself is bf16 (TPU +
+    # mixed_precision); f32 training keeps the exact-parity XLA chain.
+    fa = getattr(config.train, "fused_augment", "auto")
+    use_fused_aug = (fa if isinstance(fa, bool)
+                     else (jax.default_backend() == "tpu"
+                           and config.train.mixed_precision))
+
     def step_fn(state: TrainState, batch, stage, backbone_live, use_mix):
         rng, k_aug, k_mix, k_drop = jax.random.split(state.rng, 4)
 
-        x = augment_batch(k_aug, batch["images"])
+        if use_fused_aug:
+            x = fused_augment_batch(k_aug, batch["images"])
+        else:
+            x = augment_batch(k_aug, batch["images"])
         labels = batch["labels"]
         severity = batch["severity"]
 
-        mixed, la, lb, lam = cutmix_or_mixup(
-            k_mix, x, labels, fl.use_cutmix, fl.use_mixup,
-            fl.cutmix_alpha, fl.mixup_alpha)
-        # use_mix gate (val of 0 disables mixing without retracing).
-        x = use_mix * mixed + (1.0 - use_mix) * x
-        lam = use_mix * lam + (1.0 - use_mix) * 1.0
-        lb = jnp.where(use_mix > 0, lb, la)
+        # use_mix gate (val of 0 disables mixing without retracing). A
+        # lax.cond — not a blend of both outcomes — so a mix-off step
+        # (validation-style epochs, ablations) pays ZERO mixing cost:
+        # the old formulation always executed cutmix+mixup and then two
+        # more full-tensor blend passes even at use_mix=0.
+        def _with_mix(xx):
+            mixed, la, lb, lam = cutmix_or_mixup(
+                k_mix, xx, labels, fl.use_cutmix, fl.use_mixup,
+                fl.cutmix_alpha, fl.mixup_alpha)
+            return mixed, la, lb, lam.astype(jnp.float32)
+
+        def _no_mix(xx):
+            return xx, labels, labels, jnp.float32(1.0)
+
+        if fl.use_cutmix or fl.use_mixup:
+            x, la, lb, lam = jax.lax.cond(use_mix > 0, _with_mix,
+                                          _no_mix, x)
+        else:
+            x, la, lb, lam = _no_mix(x)
 
         def loss_fn(params):
             out = forward_fn(params, x, False, k_drop)

@@ -43,7 +43,8 @@ def _best_ms(run, iters, n_chunks=5):
 
 
 def profile_batch(batch_size: int, iters: int = 20,
-                  force_xla: bool = False) -> dict:
+                  force_xla: bool = False,
+                  fused_augment=None) -> dict:
     import jax
     import jax.numpy as jnp
     from rovit_kan_tpu.config import get_config
@@ -59,6 +60,8 @@ def profile_batch(batch_size: int, iters: int = 20,
     if force_xla:
         config.tpu.use_pallas_block = False
         config.tpu.use_pallas_attention = False
+    if fused_augment is not None:
+        config.train.fused_augment = fused_augment
     model = build_model(config, dtype=jnp.bfloat16)
     size = config.data.image_size
     lc = config.loss
@@ -108,6 +111,27 @@ def profile_batch(batch_size: int, iters: int = 20,
         assert np.isfinite(float(acc))
 
     out["augment_ms"] = _best_ms(aug_run, iters)
+
+    # --- stage: fused-kernel augment + mixup (ops/augment_kernel.py) -----
+    if jax.default_backend() == "tpu":
+        from rovit_kan_tpu.ops.augment_kernel import fused_augment_batch
+
+        @jax.jit
+        def aug_fused(k, imgs, acc):
+            xx = fused_augment_batch(k, imgs)
+            mixed, la, lb, lam = cutmix_or_mixup(
+                jax.random.fold_in(k, 1), xx, labels, True, True, 1.0, 0.2)
+            return acc + jnp.sum(mixed.astype(jnp.float32))
+
+        float(aug_fused(k0, images, jnp.zeros((), jnp.float32)))
+
+        def aug_fused_run():
+            acc = jnp.zeros((), jnp.float32)
+            for i in range(iters):
+                acc = aug_fused(jax.random.fold_in(k0, i), images, acc)
+            assert np.isfinite(float(acc))
+
+        out["augment_fused_ms"] = _best_ms(aug_fused_run, iters)
 
     # --- stage: forward (train-mode, dropout on) -------------------------
     @jax.jit
@@ -279,6 +303,9 @@ def main():
     p.add_argument("--xla", action="store_true",
                    help="force the pure-XLA compute path (kernel policy "
                         "off) to decompose the unfused train step")
+    p.add_argument("--no_fused_augment", action="store_true",
+                   help="force the XLA augment chain inside the full "
+                        "train step (A/B vs ops/augment_kernel.py)")
     args = p.parse_args()
 
     import jax
@@ -290,7 +317,9 @@ def main():
 
     results = []
     for bs in args.batches:
-        r, handles = profile_batch(bs, args.iters, force_xla=args.xla)
+        r, handles = profile_batch(
+            bs, args.iters, force_xla=args.xla,
+            fused_augment=False if args.no_fused_augment else None)
         if args.trace_dir:
             r["trace"] = capture_trace(f"{args.trace_dir}/bs{bs}", *handles)
         results.append(r)
