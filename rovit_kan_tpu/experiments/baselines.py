@@ -73,7 +73,7 @@ class BaselineExperiment:
             ))(learning_rate=self.config.train.learning_rate)
 
         def train_step(variables, opt_state, rng, batch):
-            rng, k_aug = jax.random.split(rng)
+            rng, k_aug, k_drop = jax.random.split(rng, 3)
             x = augment_batch(k_aug, batch["images"])
             # Mask padded rows (a non-drop_last loader zero-pads the tail
             # batch with label-0 samples, valid=0) out of both the loss
@@ -85,7 +85,8 @@ class BaselineExperiment:
                 out, mutated = model.apply(
                     {"params": params, **{k: v for k, v in variables.items()
                                           if k != "params"}},
-                    x, deterministic=False, mutable=["batch_stats"])
+                    x, deterministic=False, mutable=["batch_stats"],
+                    rngs={"dropout": k_drop})
                 per_ex = focal_loss_per_example(
                     out["cls_logits"], batch["labels"], gamma, alpha)
                 loss = (per_ex * valid).sum() / denom
