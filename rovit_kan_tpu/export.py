@@ -27,7 +27,8 @@ from rovit_kan_tpu.serving import build_serving_forward
 
 
 def export_serving(model, params, batch_size: int = 64,
-                   platforms: Optional[Sequence[str]] = None) -> bytes:
+                   platforms: Optional[Sequence[str]] = None,
+                   temperature: float = 1.0) -> bytes:
     """Lower + serialize the serving function with ``params`` baked in.
 
     Args:
@@ -36,11 +37,13 @@ def export_serving(model, params, batch_size: int = 64,
         batch_size: fixed serving batch.
         platforms: lowering platforms, e.g. ``("tpu", "cpu")``; defaults to
             the current backend only.
+        temperature: calibration temperature baked into the artifact
+            (``cls_probs = softmax(logits / T)``; argmax invariant).
 
     Returns:
         Serialized, versioned StableHLO bytes (``jax.export`` format).
     """
-    fwd = build_serving_forward(model)
+    fwd = build_serving_forward(model, temperature=temperature)
     # Close over the weights: the artifact is self-contained.
     params = jax.tree.map(jnp.asarray, params)
 
@@ -65,9 +68,11 @@ def load_serving(blob: bytes) -> Callable[[np.ndarray], Dict[str, jnp.ndarray]]:
 
 
 def save_exported(path, model, params, batch_size: int = 64,
-                  platforms: Optional[Sequence[str]] = None) -> int:
+                  platforms: Optional[Sequence[str]] = None,
+                  temperature: float = 1.0) -> int:
     """Export and write to ``path``; returns the artifact size in bytes."""
-    blob = export_serving(model, params, batch_size, platforms)
+    blob = export_serving(model, params, batch_size, platforms,
+                          temperature=temperature)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_bytes(blob)

@@ -31,20 +31,28 @@ from rovit_kan_tpu.ops.ordinal import (
 )
 
 
-def build_serving_forward(model):
+def build_serving_forward(model, temperature: float = 1.0):
     """Pure serving function ``(params, uint8 NHWC images) -> outputs``:
     on-device normalization + forward + derived predictions (softmax,
     ordinal class probs/expected severity, uncertainty std, KAN severity).
     Shared by ``InferenceEngine`` (jitted) and ``export.export_serving``
-    (AOT-lowered to StableHLO)."""
+    (AOT-lowered to StableHLO).
+
+    ``temperature`` applies post-hoc confidence calibration (Guo et al.
+    2017; fitted on validation logits by ``Evaluator.fit_temperature`` and
+    stored in the checkpoint sidecar by ``scripts/evaluate.py
+    --store_temperature``): ``cls_probs = softmax(logits / T)``. A positive
+    scalar divide cannot change the argmax, so ``cls_pred`` and every other
+    output are unaffected — only the served confidence distribution is."""
     with_ordinal = getattr(model, "with_ordinal", True)
     with_uncertainty = getattr(model, "with_uncertainty", True)
+    inv_t = float(1.0 / temperature)
 
     def forward(params, images_u8):
         out = model.apply({"params": params}, eval_batch(images_u8),
                           deterministic=True)
         res = {
-            "cls_probs": jax.nn.softmax(out["cls_logits"], axis=-1),
+            "cls_probs": jax.nn.softmax(out["cls_logits"] * inv_t, axis=-1),
             "cls_pred": jnp.argmax(out["cls_logits"], axis=-1),
             "kan_severity": out["kan_severity"][:, 0],
         }
@@ -61,10 +69,12 @@ def build_serving_forward(model):
 
 
 class InferenceEngine:
-    def __init__(self, model, params, batch_size: int = 64, mesh=None):
+    def __init__(self, model, params, batch_size: int = 64, mesh=None,
+                 temperature: float = 1.0):
         self.model = model
         self.batch_size = batch_size
         self.mesh = mesh
+        self.temperature = float(temperature)
         # Rolling windows (bounded: a weeks-long serving process must not
         # grow per-request lists without bound). "requests"/"images_served"
         # stay exact via separate counters.
@@ -90,7 +100,7 @@ class InferenceEngine:
         # round-trip). Pack everything into ONE (B, sum K) fp32 array on
         # device and split host-side. The layout is derived from an
         # abstract eval, so it stays in lockstep with the head set.
-        named = build_serving_forward(model)
+        named = build_serving_forward(model, temperature=self.temperature)
         size = model.image_size
         shapes = jax.eval_shape(
             named, params,
@@ -199,9 +209,13 @@ class InferenceEngine:
         busy = np.asarray(list(self._busy)[skip:])
         sizes = np.asarray(list(self._request_sizes)[skip:])
         if lat.size == 0:
-            return {"requests": self._n_requests}
+            return {"requests": self._n_requests,
+                    "temperature": self.temperature}
         return {
             "requests": self._n_requests,
+            # Which confidence calibration this process serves (1.0 = raw)
+            # — surfaces in /healthz and /metrics for fleet audits.
+            "temperature": self.temperature,
             "images_served": self._n_images,
             "mean_latency_ms": float(lat.mean() * 1e3),
             "p95_latency_ms": float(np.percentile(lat, 95) * 1e3),
@@ -420,12 +434,23 @@ class MicroBatcher:
 
 
 def load_engine(checkpoint_path, batch_size: int = 64, mesh=None,
-                config=None, image_size: int = None) -> InferenceEngine:
+                config=None, image_size: int = None,
+                temperature: float = None) -> InferenceEngine:
     """Checkpoint -> ready-to-serve engine (compiles on first predict or
     explicit warmup). ``image_size`` serves at a different resolution than
     trained (pos-embed interpolation; at >=512 tokens in bf16 on TPU the
-    "auto" policy picks the fused Pallas attention forward)."""
+    "auto" policy picks the fused Pallas attention forward).
+
+    ``temperature=None`` (the default) adopts a calibration temperature
+    recorded in the checkpoint's meta sidecar, when one exists
+    (``scripts/evaluate.py --calibrate --store_temperature``); pass an
+    explicit float to override, or ``1.0`` to serve raw confidences."""
     from rovit_kan_tpu.evaluation.evaluator import load_model_for_evaluation
     model, params = load_model_for_evaluation(checkpoint_path, config,
                                               image_size=image_size)
-    return InferenceEngine(model, params, batch_size=batch_size, mesh=mesh)
+    if temperature is None:
+        from rovit_kan_tpu.utils.checkpoint import load_meta
+        temperature = float(load_meta(checkpoint_path).get("temperature",
+                                                           1.0))
+    return InferenceEngine(model, params, batch_size=batch_size, mesh=mesh,
+                           temperature=temperature)

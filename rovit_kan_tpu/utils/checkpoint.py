@@ -292,3 +292,36 @@ def load_checkpoint(path, target: Any = None) -> Dict[str, Any]:
     meta_path = _meta_for(path)
     meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
     return {**tree, **meta}
+
+
+def load_meta(path) -> Dict[str, Any]:
+    """Read just the JSON metadata sidecar of a checkpoint (no array
+    restore). Returns ``{}`` when the checkpoint has no sidecar. Joins any
+    in-flight async save and adopts a committed-but-unswapped staging dir
+    first, same as :func:`load_checkpoint`."""
+    wait_for_checkpoints()
+    path = Path(path).absolute()
+    promote_staging(path)
+    meta_path = _meta_for(path)
+    return json.loads(meta_path.read_text()) if meta_path.exists() else {}
+
+
+def update_meta(path, **fields) -> Dict[str, Any]:
+    """Merge ``fields`` into a checkpoint's metadata sidecar (atomic
+    replace; process 0 writes, all processes return the merged dict).
+
+    Post-hoc annotations — e.g. the calibration temperature fitted *after*
+    training (``scripts/evaluate.py --store_temperature``) — belong in the
+    sidecar, not the array tree: rewriting the Orbax payload to add one
+    scalar would re-serialize every weight and invalidate the staging
+    protocol's crash guarantees, while the sidecar is a single tiny JSON
+    whose replace is atomic on POSIX."""
+    meta = {**load_meta(path), **{k: _to_jsonable(v)
+                                  for k, v in fields.items()}}
+    if jax.process_index() == 0:
+        meta_path = _meta_for(Path(path).absolute())
+        tmp = meta_path.parent / (meta_path.name + ".tmp")
+        tmp.write_text(json.dumps(meta))
+        tmp.replace(meta_path)
+    _barrier(f"meta-update:{path}")
+    return meta

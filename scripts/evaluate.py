@@ -25,6 +25,10 @@ def main():
                         "(Augmented tree) before evaluating: ECE/Brier "
                         "improve, argmax metrics are unchanged; records "
                         "pre/post ECE and the fitted T in the results")
+    p.add_argument("--store_temperature", action="store_true",
+                   help="with --calibrate: write the fitted T into the "
+                        "checkpoint's meta sidecar so serving/export "
+                        "apply it automatically")
     p.add_argument("--device_metrics", choices=["auto", "on", "off"],
                    default="auto",
                    help="compute metrics fully on device "
@@ -85,6 +89,11 @@ def main():
             batch_size=args.batch_size, image_size=size)
         t = evaluator.fit_temperature(val_loader)
         print(f"Fitted temperature on validation split: T={t:.4f}")
+        if args.store_temperature:
+            from rovit_kan_tpu.utils.checkpoint import update_meta
+            update_meta(args.checkpoint, temperature=t)
+            print(f"Stored T in the checkpoint sidecar: serve.py and "
+                  f"export_model.py now calibrate by default")
     use_device = (args.device_metrics == "on"
                   or (args.device_metrics == "auto"
                       and jax.device_count() > 1))

@@ -24,6 +24,11 @@ def main():
                    help="reload the artifact and check outputs against the "
                         "live model on random inputs")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--temperature", type=float, default=None,
+                   help="calibration temperature baked into the artifact "
+                        "(softmax(logits/T); argmax unchanged). Default: "
+                        "the value stored in the checkpoint sidecar by "
+                        "evaluate.py --store_temperature, else 1.0")
     args = p.parse_args()
 
     if args.cpu:
@@ -47,10 +52,16 @@ def main():
                    (args.platforms or [jax.default_backend()]))
     model, params = load_model_for_evaluation(args.checkpoint,
                                               inference=tpu_only)
+    temperature = args.temperature
+    if temperature is None:
+        from rovit_kan_tpu.utils.checkpoint import load_meta
+        temperature = float(load_meta(args.checkpoint).get("temperature",
+                                                           1.0))
     n = save_exported(args.out, model, params, args.batch_size,
-                      args.platforms)
+                      args.platforms, temperature=temperature)
+    t_note = (f", T={temperature:.4f}" if temperature != 1.0 else "")
     print(f"Exported {args.out} ({n / 1e6:.1f} MB, batch={args.batch_size}, "
-          f"image_size={model.image_size})")
+          f"image_size={model.image_size}{t_note})")
 
     if args.verify:
         import jax
@@ -59,7 +70,8 @@ def main():
         x = rng.randint(0, 256, (args.batch_size, model.image_size,
                                  model.image_size, 3)).astype(np.uint8)
         got = load_exported(args.out)(x)
-        want = jax.jit(build_serving_forward(model))(params, x)
+        want = jax.jit(build_serving_forward(
+            model, temperature=temperature))(params, x)
         for k in want:
             np.testing.assert_allclose(np.asarray(got[k]),
                                        np.asarray(want[k]),

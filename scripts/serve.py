@@ -158,6 +158,11 @@ def main():
                         "a partially-filled batch (0 = greedy coalescing, "
                         "no added latency)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--temperature", type=float, default=None,
+                   help="calibration temperature for served cls_probs "
+                        "(softmax(logits/T); argmax unchanged). Default: "
+                        "the value stored in the checkpoint sidecar by "
+                        "evaluate.py --store_temperature, else 1.0")
     args = p.parse_args()
 
     import jax
@@ -169,7 +174,10 @@ def main():
     enable_compilation_cache()
 
     engine = load_engine(args.checkpoint, batch_size=args.batch_size,
-                         image_size=args.image_size)
+                         image_size=args.image_size,
+                         temperature=args.temperature)
+    if engine.temperature != 1.0:
+        print(f"Serving calibrated confidences (T={engine.temperature:.4f})")
     print(f"Compiling serving program (batch {args.batch_size}, "
           f"{engine.model.image_size}px)...")
     engine.warmup()

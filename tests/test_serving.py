@@ -590,3 +590,83 @@ def test_http_concurrent_requests_coalesce(engine):
         server.shutdown()
         server.server_close()
         server.batcher.close()
+
+
+def test_temperature_scales_served_confidences(engine):
+    """Calibrated engine: cls_probs = softmax(logits/T). The identity
+    softmax(z/T) == normalize(softmax(z)^(1/T)) checks it against the raw
+    engine without re-deriving logits; argmax and every non-confidence
+    output are invariant (positive scalar divide)."""
+    cal = InferenceEngine(engine.model, engine.params, batch_size=8,
+                          temperature=2.0)
+    imgs = _imgs(8, seed=3)
+    raw = engine.predict(imgs)
+    out = cal.predict(imgs)
+    want = raw["cls_probs"].astype(np.float64) ** 0.5
+    want /= want.sum(axis=1, keepdims=True)
+    np.testing.assert_allclose(out["cls_probs"], want, atol=1e-5)
+    np.testing.assert_array_equal(out["cls_pred"], raw["cls_pred"])
+    np.testing.assert_allclose(out["kan_severity"], raw["kan_severity"],
+                               atol=1e-6)
+    np.testing.assert_allclose(out["ordinal_probs"], raw["ordinal_probs"],
+                               atol=1e-6)
+
+
+def test_load_engine_adopts_sidecar_temperature(tmp_path):
+    """evaluate.py --store_temperature writes T into the checkpoint meta
+    sidecar (update_meta); load_engine adopts it by default, an explicit
+    argument overrides, and the sidecar merge preserves existing fields."""
+    from rovit_kan_tpu.config import get_config
+    from rovit_kan_tpu.serving import load_engine
+    from rovit_kan_tpu.utils.checkpoint import (
+        load_meta, save_checkpoint, update_meta)
+
+    model, params = _tiny_model_params()
+    cfg = get_config()
+    cfg.data.image_size = 32
+    cfg.model.embed_dim = 32
+    cfg.model.depth = 1
+    cfg.model.num_heads = 2
+    cfg.model.kan_layers = [32, 8, 1]
+    cfg.model.hidden_dim = 16
+    save_checkpoint(tmp_path / "ck", params, epoch=7, config=cfg)
+
+    eng = load_engine(tmp_path / "ck", batch_size=4)
+    assert eng.temperature == 1.0          # no sidecar entry -> raw
+
+    merged = update_meta(tmp_path / "ck", temperature=1.7)
+    assert merged["epoch"] == 7            # merge, not overwrite
+    meta = load_meta(tmp_path / "ck")
+    assert meta["temperature"] == pytest.approx(1.7)
+    assert meta["epoch"] == 7
+
+    eng2 = load_engine(tmp_path / "ck", batch_size=4)
+    assert eng2.temperature == pytest.approx(1.7)
+    eng3 = load_engine(tmp_path / "ck", batch_size=4, temperature=1.0)
+    assert eng3.temperature == 1.0         # explicit override wins
+
+    imgs = _imgs(4, seed=5)
+    hot = eng2.predict(imgs)["cls_probs"]
+    cold = eng3.predict(imgs)["cls_probs"]
+    # T>1 softens: calibrated max-confidence strictly below raw.
+    assert (hot.max(axis=1) < cold.max(axis=1)).all()
+
+
+def test_export_bakes_temperature(tmp_path):
+    """export_serving(temperature=T) bakes the calibration divide into the
+    StableHLO artifact."""
+    from rovit_kan_tpu.export import export_serving, load_serving
+    from rovit_kan_tpu.serving import build_serving_forward
+
+    model, params = _tiny_model_params()
+    fn = load_serving(export_serving(model, params, batch_size=4,
+                                     temperature=3.0))
+    x = _imgs(4, seed=6)
+    got = fn(x)
+    want = jax.jit(build_serving_forward(model, temperature=3.0))(params, x)
+    np.testing.assert_allclose(np.asarray(got["cls_probs"]),
+                               np.asarray(want["cls_probs"]),
+                               rtol=1e-5, atol=1e-6)
+    raw = jax.jit(build_serving_forward(model))(params, x)
+    assert not np.allclose(np.asarray(got["cls_probs"]),
+                           np.asarray(raw["cls_probs"]), atol=1e-4)
