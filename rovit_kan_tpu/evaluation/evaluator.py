@@ -63,7 +63,13 @@ class Evaluator:
 
     def fit_temperature(self, val_loader) -> float:
         """Fit temperature scaling on a *validation* loader (never the test
-        set) and arm it for subsequent evaluate() calls. Returns T."""
+        set) and arm it for subsequent evaluate() calls. Returns T.
+
+        Multi-host: each process only sees its local validation shard, so
+        independent fits would disagree slightly and ``--store_temperature``
+        would persist a value other processes never computed. Process 0's
+        locally fitted T is therefore broadcast to every process — all
+        ranks agree on (and return) the same scalar."""
         from rovit_kan_tpu.evaluation.calibration import fit_temperature
 
         logits, labels = [], []
@@ -74,9 +80,36 @@ class Evaluator:
                 if "valid" in batch else np.ones(len(batch["labels"]), bool)
             logits.append(np.asarray(out["cls_logits"])[valid])
             labels.append(np.asarray(batch["labels"])[valid])
-        self.temperature = fit_temperature(np.concatenate(logits),
-                                           np.concatenate(labels))
+        t = fit_temperature(np.concatenate(logits), np.concatenate(labels))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            t = float(multihost_utils.broadcast_one_to_all(np.float32(t)))
+        self.temperature = t
         return self.temperature
+
+    def calibrated_metrics(self, val_loader) -> Dict[str, float]:
+        """Post-hoc calibration block for experiment CSVs: fit T on the
+        *validation* loader, re-score the already-collected test logits.
+
+        Must be called after :meth:`evaluate` (reuses its gathered test
+        arrays — no second test pass). Returns ``{temperature,
+        ece_calibrated, brier_calibrated}``; accuracy/F1/confusion are
+        invariant under a positive scalar divide so only the confidence
+        metrics are re-reported. This is how the ablation/baseline golden
+        CSVs carry a calibrated ECE next to the raw one (the reference
+        reports only raw ECE, its README.md:314)."""
+        from rovit_kan_tpu.evaluation.calibration import apply_temperature
+
+        if not hasattr(self, "_arrays"):
+            raise RuntimeError("call evaluate() before calibrated_metrics()")
+        d = self._arrays
+        t = self.fit_temperature(val_loader)
+        probs = apply_temperature(d["logits"], t)
+        return {
+            "temperature": float(t),
+            "ece_calibrated": M.ece(probs, d["labels"]),
+            "brier_calibrated": M.brier_score(probs, d["labels"]),
+        }
 
     def _collect(self) -> Dict[str, np.ndarray]:
         probs, logits, labels, severities, sev_pred, unc = \

@@ -65,7 +65,8 @@ CANONICAL_VARIANTS: List[AblationConfig] = [
 ]
 
 CSV_FIELDS = ["experiment", "accuracy", "macro_f1", "weighted_f1", "mae",
-              "spearman_rho", "brier_score", "ece", "fps", "params"]
+              "spearman_rho", "brier_score", "ece", "ece_calibrated",
+              "temperature", "fps", "params"]
 
 
 class AblationExperiment:
@@ -169,6 +170,10 @@ class AblationExperiment:
         evaluator = Evaluator(model, eval_weights,
                               self.test_loader, cfg, output_dir=exp_dir)
         metrics = evaluator.evaluate(run_fps=self.run_fps)
+        # Per-variant temperature scaling: the raw `ece` column stays
+        # comparable to the reference's recorded CSVs; `ece_calibrated`
+        # shows what one validation-fitted scalar buys each variant.
+        metrics.update(evaluator.calibrated_metrics(self.val_loader))
         metrics["experiment"] = variant.name
         metrics["best_val_loss"] = fit["best_val_loss"]
         logger.save_metrics(metrics, "test_metrics.json")
@@ -200,7 +205,7 @@ class AblationExperiment:
     def print_comparison(self) -> None:
         """Side-by-side table (reference ablation.py:393-417)."""
         cols = ["experiment", "accuracy", "macro_f1", "mae", "brier_score",
-                "ece", "params"]
+                "ece", "ece_calibrated", "params"]
         print(f"{'experiment':22s} " + " ".join(f"{c:>12s}" for c in cols[1:]))
         for name, m in self.results.items():
             vals = []

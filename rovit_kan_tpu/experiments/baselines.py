@@ -115,7 +115,8 @@ class BaselineExperiment:
         def eval_step(variables, batch):
             out = model.apply(variables, eval_batch(batch["images"]),
                               deterministic=True)
-            return {"probs": jax.nn.softmax(out["cls_logits"], -1)}
+            logits = out["cls_logits"].astype(jnp.float32)
+            return {"probs": jax.nn.softmax(logits, -1), "logits": logits}
 
         return jax.jit(eval_step)
 
@@ -157,13 +158,15 @@ class BaselineExperiment:
         train_time = time.time() - t_train
 
         # Manual test loop (reference baselines.py:173-199).
-        probs, labels = [], []
+        probs, logits, labels = [], [], []
         for batch in self.test_loader:
             out = eval_step(variables, shard_batch(batch, self.mesh))
             valid = batch["valid"].astype(bool)
             probs.append(np.asarray(out["probs"])[valid])
+            logits.append(np.asarray(out["logits"])[valid])
             labels.append(batch["labels"][valid])
         probs = np.concatenate(probs)
+        logits = np.concatenate(logits)
         labels = np.concatenate(labels)
         preds = probs.argmax(1)
 
@@ -178,6 +181,7 @@ class BaselineExperiment:
             "params": M.count_params(variables["params"]),
             "train_time_s": train_time,
         }
+        result.update(self._calibrate(eval_step, variables, logits, labels))
         if self.run_fps:
             # fps is a bonus column: a fused-kernel failure here must not
             # discard the trained baseline's metrics above.
@@ -190,6 +194,27 @@ class BaselineExperiment:
                 print(f"  fps column for {name} FAILED (metrics kept):")
                 traceback.print_exc()
         return result
+
+    def _calibrate(self, eval_step, variables, test_logits,
+                   test_labels) -> Dict[str, float]:
+        """Temperature scaling per baseline: fit T on the validation split,
+        re-score the test logits. The raw `ece` column stays comparable to
+        the reference's recorded CSV; `ece_calibrated` sits beside it."""
+        from rovit_kan_tpu.evaluation.calibration import (apply_temperature,
+                                                          fit_temperature)
+
+        val_logits, val_labels = [], []
+        for batch in self.val_loader:
+            out = eval_step(variables, shard_batch(batch, self.mesh))
+            valid = batch["valid"].astype(bool)
+            val_logits.append(np.asarray(out["logits"])[valid])
+            val_labels.append(batch["labels"][valid])
+        t = fit_temperature(np.concatenate(val_logits),
+                            np.concatenate(val_labels))
+        cal = apply_temperature(test_logits, t)
+        return {"temperature": float(t),
+                "ece_calibrated": M.ece(cal, test_labels),
+                "brier_calibrated": M.brier_score(cal, test_labels)}
 
     def _fps_step(self, name: str, model):
         """Inference step for the fps column, or None to reuse the plain
@@ -236,7 +261,8 @@ class BaselineExperiment:
         rows = sorted(self.results.values(),
                       key=lambda r: -r.get("accuracy", 0.0))
         fields = ["model", "accuracy", "macro_f1", "weighted_f1",
-                  "brier_score", "ece", "params", "fps", "train_time_s"]
+                  "brier_score", "ece", "ece_calibrated", "temperature",
+                  "params", "fps", "train_time_s"]
         with open(path, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=fields, extrasaction="ignore")
             w.writeheader()

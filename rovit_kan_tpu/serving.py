@@ -44,6 +44,15 @@ def build_serving_forward(model, temperature: float = 1.0):
     --store_temperature``): ``cls_probs = softmax(logits / T)``. A positive
     scalar divide cannot change the argmax, so ``cls_pred`` and every other
     output are unaffected — only the served confidence distribution is."""
+    import math
+    if not (math.isfinite(temperature) and temperature > 0.0):
+        # T<=0 would break the argmax-invariance contract above (and T=0
+        # divides by zero); a corrupt/hand-edited sidecar must fail loudly
+        # at engine construction, not serve contradictory outputs.
+        raise ValueError(
+            f"calibration temperature must be a positive finite scalar, "
+            f"got {temperature!r} — re-fit with `evaluate.py --calibrate "
+            f"--store_temperature` or pass temperature=1.0 to disable")
     with_ordinal = getattr(model, "with_ordinal", True)
     with_uncertainty = getattr(model, "with_uncertainty", True)
     inv_t = float(1.0 / temperature)

