@@ -134,7 +134,14 @@ def _watchdog(timeout_s: int, what: str):
         signal.signal(signal.SIGALRM, old)
 
 
-def _probe_device(timeout_s: int = 150, attempts: int = 3,
+import os
+
+_PROBE_TIMEOUT = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "150"))
+_PROBE_ATTEMPTS = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3"))
+
+
+def _probe_device(timeout_s: int = _PROBE_TIMEOUT,
+                  attempts: int = _PROBE_ATTEMPTS,
                   backoff_s: int = 30) -> None:
     """Fail fast if the device relay is wedged, but give it a chance to
     recover: up to ``attempts`` probes with linear backoff between them

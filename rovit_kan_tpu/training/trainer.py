@@ -91,7 +91,7 @@ def make_train_step(model, tx, config: Config,
     fa = getattr(config.train, "fused_augment", "auto")
     use_fused_aug = (fa if isinstance(fa, bool)
                      else (jax.default_backend() == "tpu"
-                           and config.train.mixed_precision))
+                           and config.flags.mixed_precision))
 
     def step_fn(state: TrainState, batch, stage, backbone_live, use_mix):
         rng, k_aug, k_mix, k_drop = jax.random.split(state.rng, 4)

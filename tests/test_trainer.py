@@ -412,3 +412,22 @@ def test_preemption_checkpoints_and_resumes(tmp_path):
     assert len(out["history"]["train"]) == 2          # epochs 3..4
     # Clean completion removed the stale preemption checkpoint.
     assert not (tmp_path / "ckpt" / "preempt_model").exists()
+
+
+def test_make_train_step_tpu_auto_policy_resolves(monkeypatch, tmp_path):
+    """Regression: with the backend reporting "tpu" and mixed_precision on,
+    the fused-augment "auto" policy must read config.FLAGS.mixed_precision
+    (the field's home). It previously read config.train.mixed_precision,
+    which only real-TPU builds evaluate (the `and` short-circuits on CPU)
+    — so every TPU training build crashed at make_train_step time while
+    the whole CPU suite stayed green (caught live by bench.py's partial
+    JSON on the round-4 TPU run)."""
+    import optax
+
+    from rovit_kan_tpu.training.trainer import make_train_step
+
+    cfg = _cfg(tmp_path)
+    cfg.flags.mixed_precision = True      # TPU default
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    step, eval_step = make_train_step(_model(), optax.sgd(1e-3), cfg)
+    assert callable(step)
