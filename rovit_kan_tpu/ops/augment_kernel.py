@@ -73,11 +73,18 @@ def _constants(H: int, W: int):
 def _augment_kernel(x_ref, f_ref, ph_ref, pv_ref, m_ref, mean_ref,
                     istd_ref, wmean_ref, o_ref, *, compute_dtype):
     cd = compute_dtype
-    fh, fv = f_ref[0, 0], f_ref[0, 1]
-    fb, fc, fs = (f_ref[0, 2].astype(cd), f_ref[0, 3].astype(cd),
-                  f_ref[0, 4].astype(cd))
+    # Per-image factors live in SMEM as the full (B, 8) array (a per-image
+    # (1, 8) VMEM block is Mosaic-illegal: sublane dim 1 is neither a
+    # multiple of 8 nor the full array dim) — index the grid row directly.
+    i = pl.program_id(0)
+    fh, fv = f_ref[i, 0], f_ref[i, 1]
+    fb, fc, fs = (f_ref[i, 2].astype(cd), f_ref[i, 3].astype(cd),
+                  f_ref[i, 4].astype(cd))
 
-    x = (x_ref[0].astype(jnp.float32) * (1.0 / 255.0)).astype(cd)
+    # Mosaic has no unsigned->float cast; u8 pixels (0..255) are exact
+    # through the supported i32 hop.
+    x = (x_ref[0].astype(jnp.int32).astype(jnp.float32)
+         * (1.0 / 255.0)).astype(cd)
 
     xh = jax.lax.dot(x, ph_ref[:], preferred_element_type=jnp.float32)
     x = jnp.where(fh > 0, xh.astype(cd), x)
@@ -133,7 +140,7 @@ def _fused_augment_impl(images_u8, factors, out_dtype, compute_dtype,
     const = (lambda a: pl.BlockSpec(
         a.shape, (lambda nd: lambda i: (0,) * nd)(a.ndim),
         memory_space=pltpu.VMEM))
-    fac = pl.BlockSpec((1, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    fac = pl.BlockSpec((B, 8), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
     # Matmul constants travel pre-cast to the compute dtype (exact for
     # the 0/1 permutations; the ITU-R weights round once); the normalize/
