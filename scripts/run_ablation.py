@@ -24,6 +24,10 @@ def main():
                    help="5 epochs / 1000-sample subset / bs=64 "
                         "(reference run_ablation.py:133-137)")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--n-per-class", type=int, default=None,
+                   help="synthetic images per class (default: 64, or 8 "
+                        "with --tiny; the reference-scale recipe uses "
+                        "1000 -> 4k images)")
     p.add_argument("--devices", type=int, default=-1)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--tiny", action="store_true",
@@ -86,7 +90,7 @@ def main():
 
     root = args.data_root / "Augmented Image"
     if args.synthetic:
-        n = 8 if args.tiny else 64
+        n = args.n_per_class or (8 if args.tiny else 64)
         generate_synthetic_dataset(root, n_per_class=n,
                                    size=config.data.image_size,
                                    class_names=config.data.class_names,
