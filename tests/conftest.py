@@ -18,3 +18,96 @@ jax.config.update("jax_platforms", "cpu")
 from rovit_kan_tpu.utils.compilation_cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache(".cache/xla_test")
+
+import pytest  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# Two-tier suite: `pytest -m "not slow"` is the fast tier (every module still
+# touched, ~4-5 min on this CPU); the full suite takes ~27 min and no longer
+# fits a 10-minute CI window.  Tests below measured >= ~5.5 s on a
+# `--durations=0` run (2026-08-19); the compile-heavy SPMD / pipeline /
+# golden-parity cases dominate.  Per-module fast representatives are kept
+# unmarked on purpose (e.g. test_fused_block_matches_xla_bf16,
+# test_per_step_loss_parity).  Explicit @pytest.mark.slow decorators in test
+# files compose with this list.
+_SLOW_TESTS = frozenset({
+    # test_parallel.py (test_flagship_on_mesh_dp_and_dpxtp already decorated)
+    "test_scanned_epoch_dp_matches_single_device",
+    "test_dp_step_matches_single_device",
+    "test_sharded_cache_scanned_train_bit_equal_replicated",
+    "test_sp_step_matches_single_device",
+    "test_sharded_cache_trainer_end_to_end",
+    "test_tp_step_matches_single_device",
+    "test_sp_composes_with_remat",
+    "test_sp_eval_matches_no_sp",
+    # test_multihost.py
+    "test_two_process_training_step",
+    "test_two_process_checkpoint_protocol",
+    "test_two_process_sharded_device_cache",
+    # test_baselines_extra.py
+    "test_swin_grad_flow",
+    "test_forward_small_image[swin_tiny-32]",
+    "test_forward_small_image[vgg16-32]",
+    # test_experiments.py
+    "test_ablation_two_variants_and_skip_resume",
+    "test_baseline_harness_resnet_tiny",
+    "test_ablation_evaluates_ema_weights",
+    "test_baseline_harness_survives_failure",
+    "test_baseline_train_step_masks_invalid_rows",
+    "test_ablation_resumes_preempt_checkpoint",
+    # test_pipeline.py
+    "test_trainer_pipelined_scanned_epoch_fit",
+    "test_pipeline_grad_matches_sequential",
+    "test_trainer_pipelined_step_matches_plain",
+    "test_trainer_3d_step_matches_plain",
+    "test_pipelined_train_step_runs_and_shards",
+    "test_trainer_pipelined_checkpoint_is_canonical",
+    "test_pipeline_3d_grad_matches_sequential",
+    # test_fsdp.py
+    "test_fsdp_step_matches_single_device",
+    "test_fsdp_tp_hybrid_step",
+    # test_properties.py
+    "test_moe_routing_invariants",
+    # test_model.py
+    "test_scaled_presets_build_and_forward",
+    # test_trainer.py
+    "test_resume_with_grad_accumulation",
+    "test_ema_freezes_on_accumulation_microsteps",
+    "test_ema_params_track_and_evaluate",
+    "test_scanned_epoch_matches_per_batch_path",
+    "test_fit_and_resume",
+    "test_preemption_checkpoints_and_resumes",
+    # test_moe.py
+    "test_expert_parallel_step_matches_single_device",
+    "test_moe_composes_with_sequence_parallel",
+    "test_gate_receives_gradient",
+    # test_block_kernel.py (bf16 parity kept fast)
+    "test_model_level_fused_block_matches_default",
+    "test_fused_block_gradients_match_xla",
+    "test_fused_block_matches_xla_fp32",
+    "test_residual_bwd_matches_recompute_bwd",
+    # test_pretrained_path.py
+    "test_pretrained_beats_scratch",
+    # test_spline.py
+    "test_fused_kan_module_matches_xla_stack",
+    # test_device_metrics.py
+    "test_padding_invariance",
+    "test_spearman_ties_scipy_parity",
+    # test_explainability.py
+    "test_gradcam_perturbation_tap_is_true_gradient",
+    "test_kan_visualizer_figures",
+    # test_train_parity.py (per-step loss parity kept fast)
+    "test_final_eval_metrics_parity",
+    # test_serving.py
+    "test_moe_model_serves_and_exports",
+    "test_mesh_serving_matches_single_device",
+    # test_convert.py
+    "test_full_model_output_parity",
+    "test_converted_tree_structure",
+})
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.name in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
