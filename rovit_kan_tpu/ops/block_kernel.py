@@ -789,17 +789,19 @@ def _bwd_chunk_images(B: int, n_pad: int, D: int, itemsize: int) -> int:
     (forward recompute + cotangent chain + fp32 (rows, 4D) MLP temps), so
     the chunk is smaller — C=1 at DeiT-Tiny shapes.
 
-    The VMEM ceiling sits just above C=1 there: Mosaic's scoped-VMEM
+    The VMEM ceiling sits just above C=2: Mosaic's scoped-VMEM
     stack limit is 16 MB on v5e, and the C=4 kernel (selected by
     ROVIT_BLOCK_BWD_BUDGET_MB=20 at bs64/197 tokens) fails compilation
     needing 16.78 MB; the limit flag can't be raised through this
-    stack. C=2 (budget 12 under this sizer) is the one untested point
-    between the working C=1 and the failing C=4. At d=768 even
-    C=1 needs ~27 MB — which is why the
-    "auto" policy gates the fused kernel off for TRAINING at d>512
-    (models/rovit_kan.py). The 10 MB planning default leaves the right
-    headroom — don't raise it."""
-    budget = _vmem_budget_mb("ROVIT_BLOCK_BWD_BUDGET_MB", 10) * 1024 * 1024
+    stack. C=2 (budget 12 under this sizer) was measured on-chip in
+    round 4 and WINS: full train step 5,549 vs 5,443 img/s at bs64
+    (+1.9%) and 6,439 vs 6,178 at bs256 (+4.2%) over C=1
+    (outputs/ab_bwdchunk_{c1,c2,xla}.json), so 12 MB is the default.
+    The flip only affects d=192: at d=384 the weight tiles alone are
+    10.6 MB so this sizer picks C=1 under either budget, and at d=768
+    even C=1 needs ~27 MB — which is why the "auto" policy gates the
+    fused kernel off for TRAINING at d>512 (models/rovit_kan.py)."""
+    budget = _vmem_budget_mb("ROVIT_BLOCK_BWD_BUDGET_MB", 12) * 1024 * 1024
     weights = 12 * D * D * (itemsize + 4)   # bf16 weights + fp32 grads
     c = 8
     while c > 1:

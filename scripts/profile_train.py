@@ -44,7 +44,8 @@ def _best_ms(run, iters, n_chunks=5):
 
 def profile_batch(batch_size: int, iters: int = 20,
                   force_xla: bool = False,
-                  fused_augment=None) -> dict:
+                  fused_augment=None,
+                  full_only: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     from rovit_kan_tpu.config import get_config
@@ -81,6 +82,37 @@ def profile_batch(batch_size: int, iters: int = 20,
 
     out: dict = {"batch_size": batch_size,
                  "compute_path": "xla" if force_xla else "auto"}
+
+    if full_only:
+        # Skip the stage decomposition (each stage is its own jit compile
+        # — expensive on a cold persistent cache); measure only the full
+        # fused train step.  Used for narrow A/Bs like the backward chunk
+        # sizer (ROVIT_BLOCK_BWD_BUDGET_MB) where the full step IS the
+        # measurement.
+        tx = build_optimizer(config)
+        train_step, _ = make_train_step(model, tx, config)
+        state = TrainState(
+            params=jax.tree.map(jnp.copy, params),
+            opt_state=set_hyperparams(tx.init(params), 5e-4, 0.1),
+            rng=jax.random.PRNGKey(1),
+            step=jnp.zeros((), jnp.int32))
+        args3 = (jnp.int32(4), jnp.float32(1.0), jnp.float32(1.0))
+        state, m = train_step(state, batch, *args3)
+        float(m["total_loss"])
+        carry = [state]
+
+        def full_run():
+            st = carry[0]
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(iters):
+                st, m = train_step(st, batch, *args3)
+                acc = acc + m["total_loss"]
+            carry[0] = st
+            assert np.isfinite(float(acc))
+
+        out["full_step_ms"] = _best_ms(full_run, iters)
+        out["train_ips"] = batch_size / out["full_step_ms"] * 1e3
+        return out, (train_step, carry, batch, args3)
 
     # --- stage: H2D (uint8 batch upload) --------------------------------
     def h2d():
@@ -306,6 +338,9 @@ def main():
     p.add_argument("--no_fused_augment", action="store_true",
                    help="force the XLA augment chain inside the full "
                         "train step (A/B vs ops/augment_kernel.py)")
+    p.add_argument("--full_only", action="store_true",
+                   help="measure only the full train step (skip the "
+                        "per-stage decomposition and its extra compiles)")
     args = p.parse_args()
 
     import jax
@@ -319,7 +354,8 @@ def main():
     for bs in args.batches:
         r, handles = profile_batch(
             bs, args.iters, force_xla=args.xla,
-            fused_augment=False if args.no_fused_augment else None)
+            fused_augment=False if args.no_fused_augment else None,
+            full_only=args.full_only)
         if args.trace_dir:
             r["trace"] = capture_trace(f"{args.trace_dir}/bs{bs}", *handles)
         results.append(r)
