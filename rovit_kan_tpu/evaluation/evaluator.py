@@ -69,8 +69,14 @@ class Evaluator:
         independent fits would disagree slightly and ``--store_temperature``
         would persist a value other processes never computed. Process 0's
         locally fitted T is therefore broadcast to every process — all
-        ranks agree on (and return) the same scalar."""
-        from rovit_kan_tpu.evaluation.calibration import fit_temperature
+        ranks agree on (and return) the same scalar.
+
+        Degenerate fits (perfectly separated validation → raw T at the
+        bracket's low edge) are clamped to ``calibration.T_FLOOR`` and
+        flagged on ``self.temperature_degenerate`` so callers that persist
+        T (``--store_temperature``) or write golden CSVs can refuse."""
+        from rovit_kan_tpu.evaluation.calibration import (
+            fit_temperature_report)
 
         logits, labels = [], []
         for batch in val_loader:
@@ -80,7 +86,10 @@ class Evaluator:
                 if "valid" in batch else np.ones(len(batch["labels"]), bool)
             logits.append(np.asarray(out["cls_logits"])[valid])
             labels.append(np.asarray(batch["labels"])[valid])
-        t = fit_temperature(np.concatenate(logits), np.concatenate(labels))
+        rep = fit_temperature_report(np.concatenate(logits),
+                                     np.concatenate(labels))
+        t = rep["temperature"]
+        self.temperature_degenerate = bool(rep["degenerate"])
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
             t = float(multihost_utils.broadcast_one_to_all(np.float32(t)))
@@ -107,6 +116,8 @@ class Evaluator:
         probs = apply_temperature(d["logits"], t)
         return {
             "temperature": float(t),
+            "temperature_degenerate": bool(
+                getattr(self, "temperature_degenerate", False)),
             "ece_calibrated": M.ece(probs, d["labels"]),
             "brier_calibrated": M.brier_score(probs, d["labels"]),
         }

@@ -66,7 +66,7 @@ CANONICAL_VARIANTS: List[AblationConfig] = [
 
 CSV_FIELDS = ["experiment", "accuracy", "macro_f1", "weighted_f1", "mae",
               "spearman_rho", "brier_score", "ece", "ece_calibrated",
-              "temperature", "fps", "params"]
+              "temperature", "temperature_degenerate", "fps", "params"]
 
 
 class AblationExperiment:

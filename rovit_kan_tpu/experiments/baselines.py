@@ -200,8 +200,8 @@ class BaselineExperiment:
         """Temperature scaling per baseline: fit T on the validation split,
         re-score the test logits. The raw `ece` column stays comparable to
         the reference's recorded CSV; `ece_calibrated` sits beside it."""
-        from rovit_kan_tpu.evaluation.calibration import (apply_temperature,
-                                                          fit_temperature)
+        from rovit_kan_tpu.evaluation.calibration import (
+            apply_temperature, fit_temperature_report)
 
         val_logits, val_labels = [], []
         for batch in self.val_loader:
@@ -209,10 +209,12 @@ class BaselineExperiment:
             valid = batch["valid"].astype(bool)
             val_logits.append(np.asarray(out["logits"])[valid])
             val_labels.append(batch["labels"][valid])
-        t = fit_temperature(np.concatenate(val_logits),
-                            np.concatenate(val_labels))
+        rep = fit_temperature_report(np.concatenate(val_logits),
+                                     np.concatenate(val_labels))
+        t = rep["temperature"]
         cal = apply_temperature(test_logits, t)
         return {"temperature": float(t),
+                "temperature_degenerate": bool(rep["degenerate"]),
                 "ece_calibrated": M.ece(cal, test_labels),
                 "brier_calibrated": M.brier_score(cal, test_labels)}
 
@@ -262,7 +264,7 @@ class BaselineExperiment:
                       key=lambda r: -r.get("accuracy", 0.0))
         fields = ["model", "accuracy", "macro_f1", "weighted_f1",
                   "brier_score", "ece", "ece_calibrated", "temperature",
-                  "params", "fps", "train_time_s"]
+                  "temperature_degenerate", "params", "fps", "train_time_s"]
         with open(path, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=fields, extrasaction="ignore")
             w.writeheader()

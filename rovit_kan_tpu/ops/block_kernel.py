@@ -682,8 +682,10 @@ def _bwd_res_chunk_images(B: int, n_pad: int, D: int, itemsize: int) -> int:
     noticeably smaller than the recompute kernel's (no forward chain held
     live), but the fp32 cotangent temps (da1/dqkv) still dominate — C=1
     at DeiT-Tiny under the 10 MB default; raise
-    ROVIT_BLOCK_BWD_BUDGET_MB for on-chip C=2/4 A/Bs."""
-    budget = _vmem_budget_mb("ROVIT_BLOCK_BWD_BUDGET_MB", 10) * 1024 * 1024
+    ROVIT_BLOCK_BWD_RES_BUDGET_MB for on-chip C=2/4 A/Bs. The knob is
+    separate from the recompute kernel's ROVIT_BLOCK_BWD_BUDGET_MB so an
+    A/B on one sizer never silently reshapes the other."""
+    budget = _vmem_budget_mb("ROVIT_BLOCK_BWD_RES_BUDGET_MB", 10) * 1024 * 1024
     weights = 12 * D * D * (itemsize + 4)   # bf16 weights + fp32 grads
     c = 8
     while c > 1:

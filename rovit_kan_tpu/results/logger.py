@@ -68,6 +68,31 @@ class ExperimentLogger:
             w.writerow(row)
         self._csv_started = True
 
+    def truncate_from(self, start_epoch: int) -> int:
+        """Drop CSV rows with ``epoch >= start_epoch``; returns #dropped.
+
+        A resumed run re-trains (and re-logs) every epoch from its restore
+        point, but epochs the *previous* process logged past its last
+        checkpoint are stale — their training progress was discarded by the
+        restore. Without this, a preempt/resume cycle leaves the CSV with
+        duplicated, diverging epoch rows (two epoch-19..23 lineages), which
+        poisons ``plot_training_curves`` and any golden-CSV comparison.
+        ``train.py --resume`` calls this with the trainer's resume epoch
+        before the first ``log_epoch``."""
+        if not self.csv_path.exists():
+            return 0
+        with open(self.csv_path, newline="") as f:
+            rows = list(csv.DictReader(f))
+        keep = [r for r in rows if int(r["epoch"]) < start_epoch]
+        if len(keep) == len(rows):
+            return 0
+        with open(self.csv_path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=CSV_COLUMNS)
+            w.writeheader()
+            w.writerows(keep)
+        self._csv_started = True
+        return len(rows) - len(keep)
+
     def save_metrics(self, metrics: Dict[str, Any],
                      filename: str = "metrics.json") -> Path:
         p = self.log_dir / filename

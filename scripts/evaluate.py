@@ -90,10 +90,19 @@ def main():
         t = evaluator.fit_temperature(val_loader)
         print(f"Fitted temperature on validation split: T={t:.4f}")
         if args.store_temperature:
-            from rovit_kan_tpu.utils.checkpoint import update_meta
-            update_meta(args.checkpoint, temperature=t)
-            print(f"Stored T in the checkpoint sidecar: serve.py and "
-                  f"export_model.py now calibrate by default")
+            if getattr(evaluator, "temperature_degenerate", False):
+                # A perfectly separated validation set drives the NLL fit
+                # to T → 0; persisting that would make serving emit
+                # saturated 0/1 confidences on any OOD input. Refuse.
+                print("Refusing --store_temperature: the fit is degenerate "
+                      "(validation perfectly separated — raw T hit the "
+                      "floor). The checkpoint sidecar is unchanged; "
+                      "serve.py keeps T=1.0.")
+            else:
+                from rovit_kan_tpu.utils.checkpoint import update_meta
+                update_meta(args.checkpoint, temperature=t)
+                print(f"Stored T in the checkpoint sidecar: serve.py and "
+                      f"export_model.py now calibrate by default")
     use_device = (args.device_metrics == "on"
                   or (args.device_metrics == "auto"
                       and jax.device_count() > 1))

@@ -42,6 +42,45 @@ def _best_ms(run, iters, n_chunks=5):
     return min(_chunk_times(run, n_chunks)) / iters * 1e3
 
 
+def _measure_full_step(model, config, params, batch, iters):
+    """Build optimizer + TrainState, warm the full fused train step, and
+    best-of-chunks time it.  Shared by the ``--full_only`` early return
+    and the stage-decomposition path so the setup (hyperparams, args3,
+    donation pattern) cannot drift between the two (advisor, round 4).
+
+    Returns ``(full_step_ms, handles)`` where handles =
+    ``(train_step, carry, batch, args3)`` as needed by capture_trace /
+    cost analysis."""
+    import jax
+    import jax.numpy as jnp
+    from rovit_kan_tpu.training.optimizer import (build_optimizer,
+                                                  set_hyperparams)
+    from rovit_kan_tpu.training.trainer import TrainState, make_train_step
+
+    tx = build_optimizer(config)
+    train_step, _ = make_train_step(model, tx, config)
+    state = TrainState(
+        params=jax.tree.map(jnp.copy, params),
+        opt_state=set_hyperparams(tx.init(params), 5e-4, 0.1),
+        rng=jax.random.PRNGKey(1),
+        step=jnp.zeros((), jnp.int32))
+    args3 = (jnp.int32(4), jnp.float32(1.0), jnp.float32(1.0))
+    state, m = train_step(state, batch, *args3)
+    float(m["total_loss"])
+    carry = [state]
+
+    def full_run():
+        st = carry[0]
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(iters):
+            st, m = train_step(st, batch, *args3)
+            acc = acc + m["total_loss"]
+        carry[0] = st
+        assert np.isfinite(float(acc))
+
+    return _best_ms(full_run, iters), (train_step, carry, batch, args3)
+
+
 def profile_batch(batch_size: int, iters: int = 20,
                   force_xla: bool = False,
                   fused_augment=None,
@@ -55,7 +94,6 @@ def profile_batch(batch_size: int, iters: int = 20,
     from rovit_kan_tpu.training.losses import joint_loss
     from rovit_kan_tpu.training.optimizer import (build_optimizer,
                                                   set_hyperparams)
-    from rovit_kan_tpu.training.trainer import TrainState, make_train_step
 
     config = get_config()
     if force_xla:
@@ -89,30 +127,10 @@ def profile_batch(batch_size: int, iters: int = 20,
         # fused train step.  Used for narrow A/Bs like the backward chunk
         # sizer (ROVIT_BLOCK_BWD_BUDGET_MB) where the full step IS the
         # measurement.
-        tx = build_optimizer(config)
-        train_step, _ = make_train_step(model, tx, config)
-        state = TrainState(
-            params=jax.tree.map(jnp.copy, params),
-            opt_state=set_hyperparams(tx.init(params), 5e-4, 0.1),
-            rng=jax.random.PRNGKey(1),
-            step=jnp.zeros((), jnp.int32))
-        args3 = (jnp.int32(4), jnp.float32(1.0), jnp.float32(1.0))
-        state, m = train_step(state, batch, *args3)
-        float(m["total_loss"])
-        carry = [state]
-
-        def full_run():
-            st = carry[0]
-            acc = jnp.zeros((), jnp.float32)
-            for _ in range(iters):
-                st, m = train_step(st, batch, *args3)
-                acc = acc + m["total_loss"]
-            carry[0] = st
-            assert np.isfinite(float(acc))
-
-        out["full_step_ms"] = _best_ms(full_run, iters)
+        out["full_step_ms"], handles = _measure_full_step(
+            model, config, params, batch, iters)
         out["train_ips"] = batch_size / out["full_step_ms"] * 1e3
-        return out, (train_step, carry, batch, args3)
+        return out, handles
 
     # --- stage: H2D (uint8 batch upload) --------------------------------
     def h2d():
@@ -240,26 +258,9 @@ def profile_batch(batch_size: int, iters: int = 20,
     out["update_ms"] = _best_ms(upd_run, iters)
 
     # --- full train step --------------------------------------------------
-    train_step, _ = make_train_step(model, tx, config)
-    state = TrainState(params=jax.tree.map(jnp.copy, params),
-                       opt_state=set_hyperparams(tx.init(params), 5e-4, 0.1),
-                       rng=jax.random.PRNGKey(1),
-                       step=jnp.zeros((), jnp.int32))
-    args3 = (jnp.int32(4), jnp.float32(1.0), jnp.float32(1.0))
-    state, m = train_step(state, batch, *args3)
-    float(m["total_loss"])
-    carry = [state]
-
-    def full_run():
-        st = carry[0]
-        acc = jnp.zeros((), jnp.float32)
-        for _ in range(iters):
-            st, m = train_step(st, batch, *args3)
-            acc = acc + m["total_loss"]
-        carry[0] = st
-        assert np.isfinite(float(acc))
-
-    out["full_step_ms"] = _best_ms(full_run, iters)
+    out["full_step_ms"], handles = _measure_full_step(
+        model, config, params, batch, iters)
+    train_step, carry, batch, args3 = handles
     out["train_ips"] = batch_size / out["full_step_ms"] * 1e3
 
     # FLOPs / memory from XLA's own analysis of the compiled step.
@@ -283,7 +284,7 @@ def profile_batch(batch_size: int, iters: int = 20,
            for k, v in out.items()
            if k.endswith("_ms") and k != "full_step_ms"}
     out["pct_of_full"] = pct
-    return out, (train_step, carry, batch, args3)
+    return out, handles
 
 
 def capture_trace(trace_dir: str, train_step, carry, batch, args3,

@@ -378,6 +378,13 @@ def main():
                   "(unfinalized) checkpoints — starting fresh")
         if args.resume and resume_name:
             state, start_epoch = trainer.resume(resume_name)
+            # Epochs the previous process logged past this restore point
+            # were discarded by the restore — drop their CSV rows so the
+            # resumed lineage doesn't interleave with the stale one.
+            dropped = logger.truncate_from(start_epoch)
+            if dropped:
+                print(f"Dropped {dropped} stale epoch rows past the "
+                      f"restore point from {logger.csv_path}")
             print(f"Resumed from epoch {start_epoch - 1} ({resume_name})")
         elif cfg.model.pretrained_npz:
             from rovit_kan_tpu.models.convert import (

@@ -123,6 +123,30 @@ def test_logger_csv_schema(tmp_path):
     assert lg.plot_training_curves() is not None
 
 
+def test_logger_truncate_from_drops_stale_resume_rows(tmp_path):
+    """A resume re-logs every epoch from its restore point; rows a
+    preempted process logged PAST its last checkpoint must be dropped or
+    the CSV grows two diverging epoch lineages (seen in the round-4
+    preset_base_4k log: epochs 19-23 appeared twice)."""
+    lg = ExperimentLogger(tmp_path, "t")
+    m = {k: 0.5 for k in ("total_loss", "cls_loss", "ord_loss", "unc_loss",
+                          "kan_loss", "accuracy")}
+    for e in range(1, 7):
+        lg.log_epoch(e, 1, m, m)
+    # Checkpoint was at epoch 4 -> resume restarts at 5; epochs 5-6 from
+    # the dead process are stale.
+    assert lg.truncate_from(5) == 2
+    lg.log_epoch(5, 1, m, m)       # the resumed lineage
+    with open(lg.csv_path) as f:
+        rows = list(csv.DictReader(f))
+    assert [r["epoch"] for r in rows] == ["1", "2", "3", "4", "5"]
+    # Idempotent when there is nothing to drop (fresh runs, exact resume).
+    assert lg.truncate_from(6) == 0
+    # Missing CSV (first run): no-op.
+    lg2 = ExperimentLogger(tmp_path / "fresh", "t")
+    assert lg2.truncate_from(3) == 0
+
+
 def test_loader_propagates_worker_exception():
     """A failing sample must raise in the consumer, not silently truncate
     the epoch (prefetch worker forwards exceptions)."""
