@@ -59,6 +59,16 @@ class TrainConfig:
     # checkpoint, and downstream evaluation all use the EMA weights.
     ema_decay: float = 0.0
     use_curriculum: bool = True
+    # Minimum seconds between best-model DISK writes. 0 (the default,
+    # reference parity) checkpoints every val improvement; with a steadily
+    # improving val loss and a large model that serializes a full
+    # state-tree fetch every epoch (measured: the 86.5M-param base preset
+    # spent ~100 s/epoch writing 1.2 GB through this sandbox's TPU relay
+    # vs ~6 s of device compute). The cooldown only throttles the disk
+    # write — best-model selection still updates in memory every
+    # improvement, and the pending best is flushed on completion, early
+    # stop, and preemption, so no result changes.
+    checkpoint_min_interval_s: float = 0.0
     seeds: List[int] = field(default_factory=lambda: [42, 123, 999])
     stage_1_epochs: int = 10
     stage_2_epochs: int = 25

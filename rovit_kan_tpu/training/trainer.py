@@ -656,6 +656,14 @@ class Trainer:
         best_state = jax.tree.map(lambda x: x.copy(), state)
         preempted = False
         improved = False    # did THIS fit ever beat best_val_loss?
+        # Disk-write cooldown (config.train.checkpoint_min_interval_s):
+        # best_state updates in memory on EVERY improvement; the disk
+        # write is throttled and any pending best is flushed before fit
+        # returns (and on preemption), so selection/results are identical
+        # — only the per-epoch serialization cost moves off the hot loop.
+        ckpt_interval = cfg.train.checkpoint_min_interval_s
+        last_ckpt_t = float("-inf")
+        pending_best = None           # (epoch, val_metrics) awaiting flush
         try:
             for epoch in range(start_epoch, epochs + 1):
                 t0 = time.time()
@@ -680,10 +688,17 @@ class Trainer:
                     # Deep-copy: the live state's buffers are donated to the
                     # next train step and would be deleted under best_state.
                     best_state = jax.tree.map(lambda x: x.copy(), state)
-                    # Async: the orbax write overlaps the next epochs;
-                    # fit joins it before returning (and save_checkpoint
-                    # itself joins before overwriting the same path).
-                    self.save_checkpoint(state, epoch, val_m, block=False)
+                    if time.time() - last_ckpt_t >= ckpt_interval:
+                        # Async: the orbax write overlaps the next epochs;
+                        # fit joins it before returning (and
+                        # save_checkpoint itself joins before overwriting
+                        # the same path).
+                        self.save_checkpoint(state, epoch, val_m,
+                                             block=False)
+                        last_ckpt_t = time.time()
+                        pending_best = None
+                    else:
+                        pending_best = (epoch, val_m)
                 else:
                     self.epochs_without_improvement += 1
                     if self.epochs_without_improvement \
@@ -698,6 +713,11 @@ class Trainer:
                     # continues exactly where this one stopped, with the
                     # best-loss and patience trackers intact
                     # (save_checkpoint persists both).
+                    if pending_best is not None:
+                        # A cooldown-deferred best exists only in memory;
+                        # losing the process must not lose it.
+                        self.save_checkpoint(best_state, *pending_best)
+                        pending_best = None
                     self.save_checkpoint(state, epoch, val_m,
                                          name="preempt_model")
                     print(f"Preempted at epoch {epoch}: state saved as "
@@ -708,6 +728,10 @@ class Trainer:
             self._restore_preempt_handler(_prev_sigterm)
 
         if not preempted:
+            if pending_best is not None:
+                # Flush the cooldown-deferred best: evaluate.py/serving
+                # read best_model from disk and must see the true best.
+                self.save_checkpoint(best_state, *pending_best)
             # A completed (or early-stopped) fit invalidates any stale
             # preemption checkpoint (and its staging dir/sidecars) —
             # leaving it would hijack a later --resume with older state.

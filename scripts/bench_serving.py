@@ -99,7 +99,12 @@ def _measure_concurrent(engine, n_clients, requests_each, request_size,
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("checkpoint", type=Path)
+    p.add_argument("checkpoint", type=Path, nargs="?", default=None)
+    p.add_argument("--random_init", action="store_true",
+                   help="benchmark a freshly initialized flagship model "
+                        "instead of a checkpoint (throughput does not "
+                        "depend on weight values; lets the A/B run when "
+                        "no trained checkpoint is on disk)")
     p.add_argument("--image_size", type=int, default=384)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--iters", type=int, default=30)
@@ -126,10 +131,22 @@ def main():
     from rovit_kan_tpu.models.convert import transfer_resolution
     from rovit_kan_tpu.serving import InferenceEngine
 
-    ck = load_checkpoint(args.checkpoint)
-    base_cfg = Config.from_dict(ck["config"])
-    params = ck["ema_params"] if ck.get("ema_params") is not None \
-        else ck["params"]
+    if args.random_init:
+        from rovit_kan_tpu.config import get_config
+        base_cfg = get_config()
+        init_model = build_model(base_cfg, inference=True)
+        params = init_model.init(
+            jax.random.PRNGKey(0),
+            np.zeros((1, base_cfg.data.image_size, base_cfg.data.image_size,
+                      3), np.float32))["params"]
+        ck = {"config": base_cfg.to_dict()}
+    else:
+        if args.checkpoint is None:
+            raise SystemExit("pass a checkpoint path or --random_init")
+        ck = load_checkpoint(args.checkpoint)
+        base_cfg = Config.from_dict(ck["config"])
+        params = ck["ema_params"] if ck.get("ema_params") is not None \
+            else ck["params"]
 
     if args.concurrency:
         # Locked (pre-batching serve.py) vs MicroBatcher, same engine

@@ -36,6 +36,12 @@ def main():
     p.add_argument("--ema_decay", type=float, default=None,
                    help="EMA of params for eval/checkpoint (e.g. 0.999); "
                         "0/absent = off (reference parity)")
+    p.add_argument("--checkpoint_min_interval", type=float, default=None,
+                   help="min seconds between best-model DISK writes "
+                        "(default 0 = write every val improvement; see "
+                        "config.train.checkpoint_min_interval_s — for "
+                        "large models whose every-epoch 1GB+ serialization "
+                        "dominates the epoch)")
     p.add_argument("--fast", action="store_true",
                    help="tiny model + 2 epochs (smoke test)")
     p.add_argument("--devices", type=int, default=-1,
@@ -204,6 +210,8 @@ def main():
         config.train.early_stop_patience = args.patience
     if args.ema_decay is not None:
         config.train.ema_decay = args.ema_decay
+    if args.checkpoint_min_interval is not None:
+        config.train.checkpoint_min_interval_s = args.checkpoint_min_interval
     if args.synthetic:
         n = args.synthetic_per_class or (8 if args.fast else 64)
         generate_synthetic_dataset(aug_root, n_per_class=n,
