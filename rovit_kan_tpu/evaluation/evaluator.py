@@ -231,7 +231,19 @@ class Evaluator:
             results["ece_precalibration"] = M.ece(raw, d["labels"])
             results["brier_precalibration"] = M.brier_score(raw, d["labels"])
         if run_fps:
-            results["fps"] = self._fps()
+            # The FPS micro-bench compiles a SECOND program (bs=1); a
+            # failure there (observed: the sandbox relay rejecting the
+            # d=768 bs1 compile with HTTP 413 after a full training run)
+            # must not void the accuracy metrics computed above — record
+            # the error beside a null fps instead of crashing.
+            try:
+                results["fps"] = self._fps()
+            except Exception as e:       # backend/relay errors only reach
+                import warnings          # here after metrics are complete
+                warnings.warn(f"fps benchmark failed ({type(e).__name__}); "
+                              f"recording fps=None: {e}")
+                results["fps"] = None
+                results["fps_error"] = f"{type(e).__name__}: {e}"
 
         self._print_report(results)
         if save:
