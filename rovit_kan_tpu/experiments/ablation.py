@@ -114,11 +114,18 @@ class AblationExperiment:
         # Resume-by-skip (reference ablation.py:208-231). The checkpoint
         # must be a COMMITTED orbax dir (promote_staging adopts a
         # committed-but-unswapped async write first) — a torn/foreign dir
-        # must not mark the variant complete.
+        # must not mark the variant complete. A pending preempt_model
+        # VETOES the skip: its presence means this variant's training is
+        # incomplete (a completed fit deletes it), and a preempted retrain
+        # may have already written a fresh-but-half-trained best_model
+        # next to a STALE cached test_metrics.json from an older run —
+        # skipping there would resurrect the old run's metrics as if they
+        # belonged to the new checkpoint (observed in round 5).
         from rovit_kan_tpu.utils.checkpoint import promote_staging
         cached = exp_dir / "test_metrics.json"
         ckpt = exp_dir / "best_model"
-        if cached.exists() and promote_staging(ckpt):
+        preempt_pending = promote_staging(exp_dir / "preempt_model")
+        if cached.exists() and not preempt_pending and promote_staging(ckpt):
             print(f"[{variant.name}] cached results found — skipping retrain")
             metrics = json.loads(cached.read_text())
             self.results[variant.name] = metrics
@@ -133,7 +140,7 @@ class AblationExperiment:
                           logger=logger, focal_alpha=self.focal_alpha,
                           mesh=self.mesh, seed=self.seed)
         preempt = exp_dir / "preempt_model"
-        resumed = promote_staging(preempt)   # never restore a torn write
+        resumed = preempt_pending            # never restore a torn write
         if resumed:
             # A previous run of this variant was preempted mid-training:
             # continue from its epoch-boundary checkpoint instead of
@@ -141,9 +148,15 @@ class AblationExperiment:
             print(f"[{variant.name}] preemption checkpoint found — "
                   f"resuming")
             state, start_epoch = trainer.resume("preempt_model")
+            # Rows the dead process logged past its checkpoint are stale.
+            logger.truncate_from(start_epoch)
             fit = trainer.fit(state, epochs=epochs,
                               start_epoch=start_epoch)
         else:
+            # Fresh retrain (e.g. regenerating the golden CSVs): replace
+            # any previous run's epoch CSV — log_epoch appends whenever
+            # the file exists, which would concatenate two lineages.
+            logger.reset()
             fit = trainer.fit(epochs=epochs)
         if fit.get("preempted"):
             # Never cache a half-trained variant: writing test_metrics.json

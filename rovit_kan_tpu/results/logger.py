@@ -68,6 +68,20 @@ class ExperimentLogger:
             w.writerow(row)
         self._csv_started = True
 
+    def reset(self) -> bool:
+        """Delete the epoch CSV so a FRESH (non-resumed) run replaces any
+        previous run's rows instead of appending after them. ``log_epoch``
+        appends whenever the file exists — correct for resumes within one
+        lineage, but a fresh retrain into the same directory (ablation
+        regeneration, a re-launched train.py without --resume) would
+        otherwise produce a CSV with two concatenated epoch lineages.
+        Returns True when an old CSV was removed."""
+        existed = self.csv_path.exists()
+        if existed:
+            self.csv_path.unlink()
+        self._csv_started = False
+        return existed
+
     def truncate_from(self, start_epoch: int) -> int:
         """Drop CSV rows with ``epoch >= start_epoch``; returns #dropped.
 

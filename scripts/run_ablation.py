@@ -20,6 +20,11 @@ def main():
     p.add_argument("--patience", type=int, default=None,
                    help="early-stop patience (epochs without val "
                         "improvement); default keeps the config value")
+    p.add_argument("--checkpoint-min-interval", type=float, default=None,
+                   help="min seconds between best-model disk writes "
+                        "(config.train.checkpoint_min_interval_s) — with "
+                        "val improving most epochs, per-improvement "
+                        "serialization dominates small fast epochs")
     p.add_argument("--fast", action="store_true",
                    help="5 epochs / 1000-sample subset / bs=64 "
                         "(reference run_ablation.py:133-137)")
@@ -79,6 +84,8 @@ def main():
     config.train.epochs = epochs
     if args.patience is not None:
         config.train.early_stop_patience = args.patience
+    if args.checkpoint_min_interval is not None:
+        config.train.checkpoint_min_interval_s = args.checkpoint_min_interval
     # Scale curriculum boundaries to the actual epoch budget (the reference
     # keeps stage boundaries 10/25/40 even in fast mode, which never leaves
     # stage 1 at 5 epochs; we spread stages evenly instead).

@@ -406,6 +406,10 @@ def main():
             state = trainer.init_state(params=merge_pretrained(base, pre))
         else:
             state = trainer.init_state()
+        if (not (args.resume and resume_name)) and logger.reset():
+            # Fresh run into a directory holding a previous run's CSV:
+            # replace it — appending would concatenate two epoch lineages.
+            print(f"Replaced previous epoch CSV at {logger.csv_path}")
         print("Parameters:", count_parameters(state.params)["total"])
 
         if args.profile_dir:

@@ -289,6 +289,53 @@ def test_ablation_resumes_preempt_checkpoint(loaders, capsys):
     assert not (out / "full_model" / "preempt_model").exists()
 
 
+def test_pending_preempt_vetoes_skip_resume(loaders, capsys):
+    """A variant with BOTH a stale cached test_metrics.json AND a pending
+    preempt_model must NOT be skipped: the preempt means its (re)training
+    is incomplete, and the cached JSON belongs to an older run (observed
+    in round 5: a preempted regeneration run left a half-trained epoch-1
+    best_model beside round-3 metrics, and skip-resume resurrected the
+    stale metrics as current)."""
+    import copy
+
+    from rovit_kan_tpu.models.rovit_kan import build_model
+    from rovit_kan_tpu.training.trainer import Trainer
+
+    cfg, tmp, train_l, val_l, test_l = loaders
+    cfg = copy.deepcopy(cfg)
+    out = tmp / "ablation_veto"
+    variant = AblationConfig("full_model")
+    exp = AblationExperiment(cfg, train_l, val_l, test_l, out,
+                             variants=[variant], run_fps=False)
+
+    vcfg = exp._exp_config(variant)
+    (out / "full_model").mkdir(parents=True, exist_ok=True)
+    # Stale cached metrics from "an older run".
+    (out / "full_model" / "test_metrics.json").write_text(
+        json.dumps({"accuracy": 0.123, "experiment": "full_model"}))
+    # A half-trained best_model AND a pending preempt checkpoint.
+    model = build_model(vcfg)
+    tr = Trainer(model, train_l, val_l, vcfg, focal_alpha=None,
+                 seed=exp.seed)
+    fit = tr.fit(epochs=1)
+    tr.save_checkpoint(fit["state"], 1, {"total_loss": 1.0})
+    tr.save_checkpoint(fit["state"], 1, {"total_loss": 1.0},
+                       name="preempt_model")
+    capsys.readouterr()
+
+    m = exp.run_single_experiment(variant, epochs=2)
+    outtxt = capsys.readouterr().out
+    assert "skipping retrain" not in outtxt
+    assert "preemption checkpoint found" in outtxt
+    # The refreshed metrics replaced the stale cache.
+    assert m["accuracy"] != 0.123
+    refreshed = json.loads(
+        (out / "full_model" / "test_metrics.json").read_text())
+    assert refreshed["accuracy"] == m["accuracy"]
+    # And completion still clears the preempt so the NEXT run skips.
+    assert not (out / "full_model" / "preempt_model").exists()
+
+
 def test_baseline_train_step_masks_invalid_rows(loaders):
     """Labels of padded (valid=0) rows must not change the loss, accuracy,
     or updated params — a non-drop_last tail batch trains only on its real

@@ -147,6 +147,28 @@ def test_logger_truncate_from_drops_stale_resume_rows(tmp_path):
     assert lg2.truncate_from(3) == 0
 
 
+def test_logger_reset_replaces_previous_lineage(tmp_path):
+    """A FRESH (non-resumed) run into a directory with an old CSV must
+    replace it, not append a second epoch lineage after it (log_epoch
+    appends whenever the file exists)."""
+    m = {k: 0.5 for k in ("total_loss", "cls_loss", "ord_loss", "unc_loss",
+                          "kan_loss", "accuracy")}
+    lg = ExperimentLogger(tmp_path, "t")
+    for e in (1, 2, 3):
+        lg.log_epoch(e, 1, m, m)
+    lg2 = ExperimentLogger(tmp_path, "t")       # fresh process, same dir
+    assert lg2.reset() is True
+    lg2.log_epoch(1, 1, m, m)
+    with open(lg2.csv_path) as f:
+        rows = list(csv.DictReader(f))
+    assert [r["epoch"] for r in rows] == ["1"]
+    assert lg2.reset() is True          # removes the CSV it just wrote
+    assert lg2.reset() is False         # now idempotent: nothing to remove
+    # reset on a missing file reports False.
+    lg3 = ExperimentLogger(tmp_path / "empty", "t")
+    assert lg3.reset() is False
+
+
 def test_loader_propagates_worker_exception():
     """A failing sample must raise in the consumer, not silently truncate
     the epoch (prefetch worker forwards exceptions)."""
