@@ -44,7 +44,8 @@ class BaselineExperiment:
     def __init__(self, config: Config, train_loader, val_loader, test_loader,
                  output_dir, model_names: Optional[List[str]] = None,
                  epochs: int = 10, focal_alpha: Optional[np.ndarray] = None,
-                 mesh=None, seed: int = 42, run_fps: bool = True):
+                 mesh=None, seed: int = 42, run_fps: bool = True,
+                 fps_timeout_s: int = 600):
         self.config = config
         self.train_loader = train_loader
         self.val_loader = val_loader
@@ -56,6 +57,7 @@ class BaselineExperiment:
         self.mesh = mesh if mesh is not None else make_mesh(1)
         self.seed = seed
         self.run_fps = run_fps
+        self.fps_timeout_s = fps_timeout_s
         self.results: Dict[str, Dict] = {}
 
     # -- jit'd steps ----------------------------------------------------
@@ -184,15 +186,36 @@ class BaselineExperiment:
         result.update(self._calibrate(eval_step, variables, logits, labels))
         if self.run_fps:
             # fps is a bonus column: a fused-kernel failure here must not
-            # discard the trained baseline's metrics above.
+            # discard the trained baseline's metrics above. The bs=1
+            # compile also goes through the sandbox's TPU relay, which has
+            # twice hung indefinitely mid-request (round-4 vgg16: the
+            # whole sweep's result was lost to it) — bound it with the
+            # same SIGALRM watchdog bench.py uses so a dead relay costs
+            # one column, not the trained model.
+            import signal
+
+            def _alarm(signum, frame):
+                raise TimeoutError(
+                    f"fps column for {name}: relay unresponsive "
+                    f"for {self.fps_timeout_s}s")
+
+            old = signal.signal(signal.SIGALRM, _alarm)
+            signal.alarm(self.fps_timeout_s)
             try:
                 dummy = np.zeros((1, size, size, 3), np.uint8)
                 fps_step = self._fps_step(name, model) or eval_step
                 result["fps"] = float(M.fps_benchmark(
                     lambda x: fps_step(variables, {"images": x}), dummy))
-            except Exception:
+            except Exception as e:
                 print(f"  fps column for {name} FAILED (metrics kept):")
                 traceback.print_exc()
+                # Same convention as Evaluator.evaluate: a null fps plus
+                # the error, so the artifact explains its own blank cell.
+                result["fps"] = None
+                result["fps_error"] = f"{type(e).__name__}: {e}"
+            finally:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, old)
         return result
 
     def _calibrate(self, eval_step, variables, test_logits,
@@ -258,9 +281,23 @@ class BaselineExperiment:
         return self.results
 
     def save_comparison(self) -> Path:
-        """CSV sorted by accuracy desc (reference baselines.py:208-220)."""
+        """CSV sorted by accuracy desc (reference baselines.py:208-220).
+
+        Rows for models NOT trained in this run are merged in from their
+        existing ``<name>_metrics.json`` sidecars, so a subset re-run
+        (``run_baselines.py --models vgg16 swin_tiny``) refreshes those
+        rows without clobbering the rest of the table."""
         path = self.output_dir / "baseline_comparison.csv"
-        rows = sorted(self.results.values(),
+        merged = {}
+        for p in sorted(self.output_dir.glob("*_metrics.json")):
+            try:
+                prev = json.loads(p.read_text())
+            except (OSError, ValueError):
+                continue
+            if isinstance(prev, dict) and "model" in prev:
+                merged[prev["model"]] = prev
+        merged.update(self.results)
+        rows = sorted(merged.values(),
                       key=lambda r: -r.get("accuracy", 0.0))
         fields = ["model", "accuracy", "macro_f1", "weighted_f1",
                   "brier_score", "ece", "ece_calibrated", "temperature",
@@ -275,13 +312,14 @@ class BaselineExperiment:
 def run_baseline_experiments(config: Config, train_loader, val_loader,
                              test_loader, output_dir, model_names=None,
                              epochs: int = 10, focal_alpha=None, mesh=None,
-                             seed: int = 42,
-                             run_fps: bool = True) -> BaselineExperiment:
+                             seed: int = 42, run_fps: bool = True,
+                             fps_timeout_s: int = 600) -> BaselineExperiment:
     """Entry point (reference baselines.py:223-268)."""
     exp = BaselineExperiment(config, train_loader, val_loader, test_loader,
                              output_dir, model_names=model_names,
                              epochs=epochs, focal_alpha=focal_alpha,
-                             mesh=mesh, seed=seed, run_fps=run_fps)
+                             mesh=mesh, seed=seed, run_fps=run_fps,
+                             fps_timeout_s=fps_timeout_s)
     exp.run_all()
     exp.save_comparison()
     print(f"{'model':20s} {'acc':>8s} {'macro_f1':>9s} {'params':>10s}")

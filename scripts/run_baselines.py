@@ -28,6 +28,11 @@ def main():
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--devices", type=int, default=-1)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--no-fps", action="store_true",
+                   help="skip the bs=1 fps column (its compile goes "
+                        "through the sandbox relay, which can hang)")
+    p.add_argument("--fps-timeout", type=int, default=600,
+                   help="SIGALRM bound on each model's fps measurement")
     args = p.parse_args()
 
     import jax
@@ -71,7 +76,9 @@ def main():
     run_baseline_experiments(config, train_l, val_l, test_l,
                              args.output_dir, model_names=args.models,
                              epochs=args.epochs, focal_alpha=focal_alpha,
-                             mesh=mesh, seed=args.seed)
+                             mesh=mesh, seed=args.seed,
+                             run_fps=not args.no_fps,
+                             fps_timeout_s=args.fps_timeout)
 
 
 if __name__ == "__main__":
